@@ -1,0 +1,188 @@
+"""ROI crop-and-resize ops with TF semantics, as batched XLA gathers.
+
+Replaces the reference's `tf.image.crop_and_resize` (bilinear, normalized
+boxes; ref: monopsr_model.py:223-226, net_builder.py:56-60) and the per-box
+`crop + tf.image.resize_nearest_neighbor(align_corners=True)` pattern
+(ref: instance_utils.py:419-429) with fully batched flat gathers over a
+static (N, roi_h, roi_w) output — no dynamic shapes, no per-box loops.
+
+All gathers index a flattened (H*W, C) view so intermediates stay at the
+output size (important for the wide full-image feature map).
+"""
+
+import jax.numpy as jnp
+
+
+def _flat_gather(image_flat, width, yi, xi):
+    """Gathers (..., C) values at integer coords from an (H*W, C) view."""
+    return image_flat[yi * width + xi]
+
+
+def _bilinear_sample(image, in_y, in_x):
+    """Bilinear-samples (H, W, C) `image` at float coord grids.
+
+    Args:
+        image: (H, W, C).
+        in_y: (N, h) per-box row coordinates.
+        in_x: (N, w) per-box column coordinates.
+
+    Out-of-range samples return 0 (TF crop_and_resize extrapolation_value).
+
+    Returns:
+        (N, h, w, C) samples.
+    """
+    height, width, channels = image.shape
+    image_flat = image.reshape(height * width, channels)
+
+    y_valid = (in_y >= 0) & (in_y <= height - 1)
+    x_valid = (in_x >= 0) & (in_x <= width - 1)
+
+    y = jnp.clip(in_y, 0, height - 1)
+    x = jnp.clip(in_x, 0, width - 1)
+
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    wy = (y - y0)[:, :, None, None]        # (N, h, 1, 1)
+    wx = (x - x0)[:, None, :, None]        # (N, 1, w, 1)
+
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, height - 1)
+    x1i = jnp.minimum(x0i + 1, width - 1)
+
+    # Broadcast separable coords to (N, h, w) index grids.
+    def grid(yi, xi):
+        return _flat_gather(image_flat, width,
+                            yi[:, :, None], xi[:, None, :])
+
+    tl = grid(y0i, x0i)
+    tr = grid(y0i, x1i)
+    bl = grid(y1i, x0i)
+    br = grid(y1i, x1i)
+
+    out = (tl * (1 - wy) * (1 - wx) + tr * (1 - wy) * wx +
+           bl * wy * (1 - wx) + br * wy * wx)
+
+    valid = (y_valid[:, :, None] & x_valid[:, None, :])[..., None]
+    return jnp.where(valid, out, jnp.zeros((), out.dtype))
+
+
+def crop_and_resize_bilinear(image, boxes_norm, crop_size):
+    """TF `crop_and_resize` twin: bilinear, normalized [y1, x1, y2, x2] boxes.
+
+    Args:
+        image: (H, W, C) single image (all boxes crop from it).
+        boxes_norm: (N, 4) normalized boxes [y1, x1, y2, x2].
+        crop_size: (crop_h, crop_w) static output size.
+
+    Returns:
+        (N, crop_h, crop_w, C) crops.
+    """
+    crop_h, crop_w = crop_size
+    height, width = image.shape[0], image.shape[1]
+
+    y1, x1, y2, x2 = (boxes_norm[:, i] for i in range(4))
+
+    if crop_h > 1:
+        t = jnp.linspace(0.0, 1.0, crop_h, dtype=boxes_norm.dtype)[None, :]
+        in_y = (y1[:, None] + t * (y2 - y1)[:, None]) * (height - 1)
+    else:
+        in_y = 0.5 * (y1 + y2)[:, None] * (height - 1)
+
+    if crop_w > 1:
+        t = jnp.linspace(0.0, 1.0, crop_w, dtype=boxes_norm.dtype)[None, :]
+        in_x = (x1[:, None] + t * (x2 - x1)[:, None]) * (width - 1)
+    else:
+        in_x = 0.5 * (x1 + x2)[:, None] * (width - 1)
+
+    return _bilinear_sample(image, in_y, in_x)
+
+
+def crop_and_resize_nearest(image, boxes_2d, roi_size):
+    """Crop (pixel boxes, rounded) + nearest resize with align_corners=True.
+
+    Equivalent to `map[y1:y2, x1:x2]` followed by
+    `tf.image.resize_nearest_neighbor(roi_size, align_corners=True)` —
+    per TF1 semantics: scale = (in - 1) / (out - 1), src = round(i * scale)
+    — computed as one batched gather with static output shape.
+
+    Args:
+        image: (H, W) or (H, W, C) input map.
+        boxes_2d: (N, 4) pixel boxes [y1, x1, y2, x2] (unrounded; rounded
+            internally like the reference).
+        roi_size: (roi_h, roi_w) static output size.
+
+    Returns:
+        (N, roi_h, roi_w[, C]) nearest-resampled crops.
+    """
+    squeeze = image.ndim == 2
+    if squeeze:
+        image = image[..., None]
+
+    roi_h, roi_w = roi_size
+    height, width, channels = image.shape
+    image_flat = image.reshape(height * width, channels)
+
+    boxes_r = jnp.round(boxes_2d).astype(jnp.int32)
+    y1, x1, y2, x2 = (boxes_r[:, i] for i in range(4))
+
+    # Crop spans; invalid boxes fall back to a single pixel
+    # (matching get_valid_inst_box_2d_crop, ref: instance_utils.py:51-78).
+    ch = jnp.maximum(y2 - y1, 1)
+    cw = jnp.maximum(x2 - x1, 1)
+
+    iy = jnp.arange(roi_h, dtype=jnp.float32)[None, :]
+    ix = jnp.arange(roi_w, dtype=jnp.float32)[None, :]
+
+    scale_y = (ch - 1).astype(jnp.float32) / max(roi_h - 1, 1)
+    scale_x = (cw - 1).astype(jnp.float32) / max(roi_w - 1, 1)
+
+    src_y = y1[:, None] + jnp.round(iy * scale_y[:, None]).astype(jnp.int32)
+    src_x = x1[:, None] + jnp.round(ix * scale_x[:, None]).astype(jnp.int32)
+
+    src_y = jnp.clip(src_y, 0, height - 1)
+    src_x = jnp.clip(src_x, 0, width - 1)
+
+    out = _flat_gather(image_flat, width,
+                       src_y[:, :, None], src_x[:, None, :])
+
+    if squeeze:
+        out = out[..., 0]
+    return out
+
+
+def resize_bilinear_align_corners(images, out_size):
+    """`tf.image.resize_images(..., align_corners=True)` twin for a batch.
+
+    Args:
+        images: (N, H, W, C) batch.
+        out_size: (out_h, out_w).
+
+    Returns:
+        (N, out_h, out_w, C) bilinear-resized batch.
+    """
+    out_h, out_w = out_size
+    n, height, width, _ = images.shape
+
+    # align_corners=True: endpoints map exactly; same sampling grid for
+    # every image, so one shared coordinate set.
+    in_y = jnp.linspace(0.0, height - 1, out_h)[None, :]
+    in_x = jnp.linspace(0.0, width - 1, out_w)[None, :]
+
+    y0 = jnp.floor(in_y)
+    x0 = jnp.floor(in_x)
+    wy = (in_y - y0)[0][None, :, None, None]
+    wx = (in_x - x0)[0][None, None, :, None]
+
+    y0i = y0.astype(jnp.int32)[0]
+    x0i = x0.astype(jnp.int32)[0]
+    y1i = jnp.minimum(y0i + 1, height - 1)
+    x1i = jnp.minimum(x0i + 1, width - 1)
+
+    tl = images[:, y0i][:, :, x0i]
+    tr = images[:, y0i][:, :, x1i]
+    bl = images[:, y1i][:, :, x0i]
+    br = images[:, y1i][:, :, x1i]
+
+    return (tl * (1 - wy) * (1 - wx) + tr * (1 - wy) * wx +
+            bl * wy * (1 - wx) + br * wy * wx)
