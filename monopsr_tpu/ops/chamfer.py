@@ -1,0 +1,216 @@
+"""Chamfer distance (nn_distance): bidirectional NN squared distances.
+
+TPU-native replacement for the reference's custom CUDA op
+(ref: src/tf_ops/nn_distance/tf_nndistance.cpp, tf_nndistance_g.cu,
+python wrapper tf_nndistance.py:15-40). Returns, like the original:
+
+    dist1: (B, N) squared distance from each point in xyz1 to its nearest
+        neighbour in xyz2
+    idx1:  (B, N) index of that neighbour
+    dist2, idx2: the reverse direction
+
+Two implementations share a custom VJP (the handwritten CUDA gradient
+becomes a gather/scatter-add expressed in XLA):
+
+- `_nn_distance_xla`: chunked |x|^2 + |y|^2 - 2 x.y^T with running min —
+  never materializes the full (N, M) matrix across the batch.
+- `_nn_distance_pallas`: a Pallas TPU kernel tiling the distance matrix
+  through VMEM with the matmul on the MXU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pairwise_sq_dists(x_tile, y):
+    """(T, 3) x (M, 3) -> (T, M) squared distances via the matmul trick."""
+    x2 = jnp.sum(x_tile * x_tile, axis=-1, keepdims=True)      # (T, 1)
+    y2 = jnp.sum(y * y, axis=-1, keepdims=True).T              # (1, M)
+    xy = jax.lax.dot_general(
+        x_tile, y,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return x2 + y2 - 2.0 * xy
+
+
+# ---------------------------------------------------------------------------
+# XLA implementation (works on any backend; used for CPU and as oracle)
+# ---------------------------------------------------------------------------
+
+def _nn_direction_xla(xyz_a, xyz_b, chunk=512):
+    """For each point in xyz_a (B, N, 3), min sq-dist into xyz_b (B, M, 3)."""
+    b, n, _ = xyz_a.shape
+
+    pad = (-n) % chunk
+    if pad:
+        # Padded points find some min; sliced away below.
+        xyz_a = jnp.pad(xyz_a, ((0, 0), (0, pad), (0, 0)))
+    num_chunks = xyz_a.shape[1] // chunk
+
+    def scan_body(carry, x_chunk):
+        # x_chunk: (B, chunk, 3)
+        d = jax.vmap(_pairwise_sq_dists)(x_chunk, xyz_b)  # (B, chunk, M)
+        return carry, (jnp.min(d, axis=-1),
+                       jnp.argmin(d, axis=-1).astype(jnp.int32))
+
+    chunks = jnp.stack(
+        jnp.split(xyz_a, num_chunks, axis=1))               # (C, B, chunk, 3)
+    _, (dists, idxs) = jax.lax.scan(scan_body, None, chunks)
+    dists = jnp.concatenate(jnp.unstack(dists), axis=1)[:, :n]
+    idxs = jnp.concatenate(jnp.unstack(idxs), axis=1)[:, :n]
+    return dists, idxs
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+_TILE_N = 256      # x rows per inner step
+_BATCH_BLOCK = 8   # batch rows per program (sublane-aligned output blocks)
+
+
+def _make_nn_direction_kernel(n_tiles):
+    def kernel(x_ref, y_ref, dist_ref, idx_ref):
+        """One program: _BATCH_BLOCK batch rows, min over all of y.
+
+        x_ref: (BB, Np, 3), y_ref: (BB, M, 3) VMEM;
+        dist_ref/idx_ref: (BB, Np) outputs. The (batch, x-tile) space is
+        walked with an inner loop so the live distance tile stays at
+        (TILE_N, M) in VMEM.
+        """
+        def body(step, _):
+            bi = step // n_tiles
+            ti = step % n_tiles
+            x = x_ref[bi, pl.ds(ti * _TILE_N, _TILE_N), :]
+            y = y_ref[bi]
+            d = _pairwise_sq_dists(x, y)            # (TILE_N, M)
+            dist_ref[bi, pl.ds(ti * _TILE_N, _TILE_N)] = jnp.min(d, axis=-1)
+            idx_ref[bi, pl.ds(ti * _TILE_N, _TILE_N)] = (
+                jnp.argmin(d, axis=-1).astype(jnp.int32))
+            return 0
+
+        jax.lax.fori_loop(0, _BATCH_BLOCK * n_tiles, body, 0)
+
+    return kernel
+
+
+def _nn_direction_pallas(xyz_a, xyz_b):
+    b, n, _ = xyz_a.shape
+    m = xyz_b.shape[1]
+
+    pad_n = (-n) % _TILE_N
+    pad_b = (-b) % _BATCH_BLOCK
+    if pad_n or pad_b:
+        xyz_a = jnp.pad(xyz_a, ((0, pad_b), (0, pad_n), (0, 0)))
+        xyz_b = jnp.pad(xyz_b, ((0, pad_b), (0, 0), (0, 0)))
+    bp, np_, _ = xyz_a.shape
+    n_tiles = np_ // _TILE_N
+
+    grid = (bp // _BATCH_BLOCK,)
+    dist, idx = pl.pallas_call(
+        _make_nn_direction_kernel(n_tiles),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_BATCH_BLOCK, np_, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BATCH_BLOCK, m, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_BATCH_BLOCK, np_), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BATCH_BLOCK, np_), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, np_), jnp.float32),
+            jax.ShapeDtypeStruct((bp, np_), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * np_ * m * 4,
+            bytes_accessed=bp * (np_ + m) * 3 * 4 + bp * np_ * 8,
+            transcendentals=0),
+    )(xyz_a, xyz_b)
+    return dist[:b, :n], idx[:b, :n]
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP
+# ---------------------------------------------------------------------------
+
+def _forward(xyz1, xyz2, use_pallas):
+    if use_pallas:
+        dist1, idx1 = _nn_direction_pallas(xyz1, xyz2)
+        dist2, idx2 = _nn_direction_pallas(xyz2, xyz1)
+    else:
+        dist1, idx1 = _nn_direction_xla(xyz1, xyz2)
+        dist2, idx2 = _nn_direction_xla(xyz2, xyz1)
+    return dist1, idx1, dist2, idx2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _nn_distance(xyz1, xyz2, use_pallas):
+    return _forward(xyz1, xyz2, use_pallas)
+
+
+def _nn_distance_fwd(xyz1, xyz2, use_pallas):
+    out = _forward(xyz1, xyz2, use_pallas)
+    dist1, idx1, dist2, idx2 = out
+    return out, (xyz1, xyz2, idx1, idx2)
+
+
+def _nn_distance_bwd(use_pallas, res, grads):
+    """Gradient through the argmin pairing.
+
+    d(|x - y_i*|^2)/dx = 2 (x - y_i*); the matched point receives the
+    negated contribution (scatter-add), mirroring NnDistanceGrad
+    (ref: tf_nndistance_g.cu:132-160) via XLA gather/scatter.
+    """
+    xyz1, xyz2, idx1, idx2 = res
+    g_dist1, _, g_dist2, _ = grads
+
+    matched2 = jnp.take_along_axis(xyz2, idx1[..., None], axis=1)
+    diff1 = 2.0 * (xyz1 - matched2) * g_dist1[..., None]
+
+    matched1 = jnp.take_along_axis(xyz1, idx2[..., None], axis=1)
+    diff2 = 2.0 * (xyz2 - matched1) * g_dist2[..., None]
+
+    def scatter_neg(target_like, idx, diff):
+        return jnp.zeros_like(target_like).at[
+            jnp.arange(target_like.shape[0])[:, None], idx].add(-diff)
+
+    grad1 = diff1 + scatter_neg(xyz1, idx2, diff2)
+    grad2 = diff2 + scatter_neg(xyz2, idx1, diff1)
+    return grad1, grad2
+
+
+_nn_distance.defvjp(_nn_distance_fwd, _nn_distance_bwd)
+
+
+def nn_distance(xyz1, xyz2, use_pallas=None):
+    """Bidirectional nearest-neighbour squared distances.
+
+    Args:
+        xyz1: (B, N, 3) point clouds.
+        xyz2: (B, M, 3) point clouds.
+        use_pallas: force the Pallas kernel on/off; default picks Pallas
+            on TPU backends.
+
+    Returns:
+        (dist1, idx1, dist2, idx2) as in the reference op.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    xyz1 = jnp.asarray(xyz1, jnp.float32)
+    xyz2 = jnp.asarray(xyz2, jnp.float32)
+    return _nn_distance(xyz1, xyz2, use_pallas)
+
+
+def chamfer_distance(xyz1, xyz2, use_pallas=None):
+    """Summed bidirectional chamfer distance per batch element: (B,)."""
+    dist1, _, dist2, _ = nn_distance(xyz1, xyz2, use_pallas)
+    return jnp.sum(dist1, axis=1) + jnp.sum(dist2, axis=1)

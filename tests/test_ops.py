@@ -1,0 +1,174 @@
+"""Golden tests for chamfer (nn_distance) and approxmatch EMD.
+
+Test strategy mirrors the reference custom-op tests: tiny hand-made
+point clouds with exact expected values, plus a dense-NumPy oracle
+(ref: src/tf_ops/nn_distance/tf_nndistance_test.py:9-40,
+tf_nndistance_cpu.py:5-26, approxmatch/tf_approxmatch_test.py:8-40).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monopsr_tpu.ops import chamfer, emd
+
+RNG = np.random.RandomState(7)
+
+
+def np_nn_distance(xyz1, xyz2):
+    """Dense float64 oracle for bidirectional NN distances."""
+    d = ((xyz1[:, :, None, :] - xyz2[:, None, :, :]) ** 2).sum(-1)
+    return (d.min(2), d.argmin(2), d.min(1), d.argmin(1))
+
+
+class TestChamfer:
+
+    def test_identical_clouds_zero(self):
+        pts = RNG.uniform(-1, 1, (2, 16, 3)).astype(np.float32)
+        dist1, idx1, dist2, idx2 = chamfer.nn_distance(
+            pts, pts, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(dist1), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dist2), 0.0, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+
+    def test_known_offset(self):
+        xyz1 = np.zeros((1, 4, 3), np.float32)
+        xyz2 = np.full((1, 5, 3), 0.5, np.float32)
+        dist1, _, dist2, _ = chamfer.nn_distance(xyz1, xyz2,
+                                                 use_pallas=False)
+        np.testing.assert_allclose(np.asarray(dist1), 0.75, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dist2), 0.75, atol=1e-6)
+
+    def test_matches_dense_oracle(self):
+        xyz1 = RNG.uniform(-3, 3, (3, 40, 3)).astype(np.float32)
+        xyz2 = RNG.uniform(-3, 3, (3, 56, 3)).astype(np.float32)
+        got = chamfer.nn_distance(xyz1, xyz2, use_pallas=False)
+        want = np_nn_distance(xyz1.astype(np.float64),
+                              xyz2.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(got[0]), want[0],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got[2]), want[2],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got[1]), want[1])
+        np.testing.assert_array_equal(np.asarray(got[3]), want[3])
+
+    def test_chunking_covers_remainder(self):
+        # N not a multiple of the chunk exercises the padding path
+        xyz1 = RNG.uniform(-3, 3, (2, 700, 3)).astype(np.float32)
+        xyz2 = RNG.uniform(-3, 3, (2, 33, 3)).astype(np.float32)
+        got = chamfer.nn_distance(xyz1, xyz2, use_pallas=False)
+        want = np_nn_distance(xyz1.astype(np.float64),
+                              xyz2.astype(np.float64))
+        np.testing.assert_allclose(np.asarray(got[0]), want[0],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got[2]), want[2],
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradient_matches_finite_difference(self):
+        xyz1 = RNG.uniform(-1, 1, (1, 6, 3)).astype(np.float32)
+        xyz2 = RNG.uniform(-1, 1, (1, 8, 3)).astype(np.float32)
+
+        def loss(a, b):
+            d1, _, d2, _ = chamfer.nn_distance(a, b, use_pallas=False)
+            return jnp.sum(d1) + jnp.sum(d2)
+
+        g1, g2 = jax.grad(loss, argnums=(0, 1))(xyz1, xyz2)
+
+        eps = 1e-3
+        for (arr, grad, argn) in ((xyz1, g1, 0), (xyz2, g2, 1)):
+            for trial in range(5):
+                i = RNG.randint(arr.shape[1])
+                k = RNG.randint(3)
+                pert = arr.copy()
+                pert[0, i, k] += eps
+                if argn == 0:
+                    plus = loss(pert, xyz2)
+                    minus = loss(arr, xyz2)
+                else:
+                    plus = loss(xyz1, pert)
+                    minus = loss(xyz1, arr)
+                fd = (float(plus) - float(minus)) / eps
+                assert abs(fd - float(grad[0, i, k])) < 2e-2, (
+                    'grad mismatch at arg{} [{}, {}]'.format(argn, i, k))
+
+
+class TestEMD:
+
+    def test_identical_clouds_near_zero(self):
+        pts = RNG.uniform(-1, 1, (2, 12, 3)).astype(np.float32)
+        cost = emd.emd_distance(pts, pts)
+        # The annealed plan nearly matches identity for identical clouds
+        assert np.all(np.asarray(cost) < 1e-2)
+
+    def test_known_translation_cost(self):
+        # Clouds offset by a constant vector: EMD ~ n * |offset|
+        n = 16
+        xyz1 = RNG.uniform(-1, 1, (1, n, 3)).astype(np.float32)
+        offset = np.array([3.0, 0.0, 0.0], np.float32)
+        xyz2 = xyz1 + offset
+        cost = float(np.asarray(emd.emd_distance(xyz1, xyz2))[0])
+        assert abs(cost - n * 3.0) / (n * 3.0) < 0.15
+
+    def test_matches_numpy_oracle(self):
+        xyz1 = RNG.uniform(-2, 2, (2, 24, 3)).astype(np.float32)
+        xyz2 = RNG.uniform(-2, 2, (2, 24, 3)).astype(np.float32)
+        match = np.asarray(emd.approx_match(xyz1, xyz2))
+        cost = np.asarray(emd.match_cost(xyz1, xyz2, jnp.asarray(match)))
+
+        for b in range(2):
+            want_match = emd.np_approx_match(
+                xyz1[b].astype(np.float64), xyz2[b].astype(np.float64))
+            # Individual plan entries are fp32-sensitive through the
+            # normalization cascade; the cost is the contract.
+            np.testing.assert_allclose(match[b], want_match, atol=0.05)
+            want_cost = emd.np_match_cost(
+                xyz1[b].astype(np.float64), xyz2[b].astype(np.float64),
+                want_match)
+            np.testing.assert_allclose(cost[b], want_cost, rtol=2e-3)
+
+    def test_match_rows_sum_to_capacity(self):
+        # Equal-size clouds: each row of the plan should assign ~1 unit
+        xyz1 = RNG.uniform(-2, 2, (1, 20, 3)).astype(np.float32)
+        xyz2 = RNG.uniform(-2, 2, (1, 20, 3)).astype(np.float32)
+        match = np.asarray(emd.approx_match(xyz1, xyz2))[0]
+        np.testing.assert_allclose(match.sum(1), 1.0, atol=0.05)
+
+    def test_cost_gradient_matches_finite_difference(self):
+        xyz1 = RNG.uniform(-1, 1, (1, 8, 3)).astype(np.float32)
+        xyz2 = RNG.uniform(-1, 1, (1, 8, 3)).astype(np.float32)
+        match = emd.approx_match(xyz1, xyz2)
+
+        def loss(a, b):
+            return jnp.sum(emd.match_cost(a, b, match))
+
+        g1, g2 = jax.grad(loss, argnums=(0, 1))(xyz1, xyz2)
+        eps = 1e-3
+        for (arr, grad, argn) in ((xyz1, g1, 0), (xyz2, g2, 1)):
+            for trial in range(4):
+                i = RNG.randint(arr.shape[1])
+                k = RNG.randint(3)
+                pert = arr.copy()
+                pert[0, i, k] += eps
+                if argn == 0:
+                    fd = (float(loss(pert, xyz2)) -
+                          float(loss(arr, xyz2))) / eps
+                else:
+                    fd = (float(loss(xyz1, pert)) -
+                          float(loss(xyz1, arr))) / eps
+                assert abs(fd - float(grad[0, i, k])) < 2e-2
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason='Pallas kernel requires TPU')
+class TestChamferPallas:
+
+    def test_pallas_matches_xla(self):
+        xyz1 = RNG.uniform(-3, 3, (2, 300, 3)).astype(np.float32)
+        xyz2 = RNG.uniform(-3, 3, (2, 280, 3)).astype(np.float32)
+        got = chamfer.nn_distance(xyz1, xyz2, use_pallas=True)
+        want = chamfer.nn_distance(xyz1, xyz2, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
+                                   rtol=1e-4, atol=1e-4)
