@@ -162,9 +162,12 @@ class KittiDataset:
         self.instance_dir = os.path.join(
             d, 'instance_{}_{}'.format(self.cam_idx, self.instance_version))
 
+        mscnn_base = (self.dataset_config.get('mscnn_dir') or
+                      os.path.join(monopsr_tpu.data_dir(),
+                                   'detections/mscnn/kitti_fmt'))
         self.mscnn_label_dir = os.path.join(
-            monopsr_tpu.data_dir(),
-            'detections/mscnn/kitti_fmt/{}/merged_{}/data'.format(
+            os.path.expanduser(mscnn_base),
+            '{}/merged_{}/data'.format(
                 self.data_split, '_'.join(map(str, self.mscnn_thr))))
 
         if self.has_kitti_labels:

@@ -1,0 +1,337 @@
+"""Evaluation runtime: checkpoint polling, prediction dumps, metrics, AP.
+
+Behavioral twin of the reference evaluator
+(ref: src/monopsr/core/evaluator.py:18-564): builds the eval step once;
+per checkpoint restores weights (EMA-preferred, like the reference's
+moving-average swapping saver), iterates one dataset epoch, saves
+predictions + losses/metrics CSVs, converts to KITTI format, and runs
+the native C++ evaluator; a polling loop with an `evaluated_<split>.txt`
+ledger skips finished checkpoints.
+
+TPU-first differences: losses + metrics + outputs come from one jitted
+XLA program per sample; the native AP evaluation runs in a worker
+process like the reference fork (ref: evaluator.py:528-564).
+"""
+
+import json
+import multiprocessing
+import os
+import subprocess
+import time
+
+import jax
+import numpy as np
+
+import monopsr_tpu
+from monopsr_tpu import constants as C
+from monopsr_tpu.eval import kitti_writers, predictions
+from monopsr_tpu.models import monopsr
+from monopsr_tpu.train import optimizer as opt_lib
+from monopsr_tpu.train import trainer as trainer_lib
+from monopsr_tpu.train.train_state import TrainState
+from monopsr_tpu.utils import transfer
+
+
+class Evaluator:
+
+    def __init__(self, config, dataset, eval_mode,
+                 skip_evaluated_checkpoints=True,
+                 eval_wait_interval=30,
+                 do_kitti_native_eval=True,
+                 use_ema_weights=True):
+        if eval_mode not in ('val', 'test'):
+            raise ValueError('Invalid eval_mode: ' + str(eval_mode))
+
+        self.config = config
+        self.dataset = dataset
+        self.eval_mode = eval_mode
+        self.skip_evaluated_checkpoints = skip_evaluated_checkpoints
+        self.eval_wait_interval = eval_wait_interval
+        self.do_kitti_native_eval = do_kitti_native_eval
+        self.use_ema_weights = use_ema_weights
+
+        model_config = config.model_config
+        dataset_config = config.dataset_config
+
+        self.net, self.cfg = monopsr.create_net(model_config,
+                                                dataset_config)
+        self.loss_config = model_config.loss_config.to_dict()
+        self.post_process_cen_x = bool(
+            model_config.get('post_process_cen_x', True))
+        self.score_threshold = float(
+            config.train_config.get('kitti_score_threshold', 0.1))
+
+        tx, _, use_ema, _ = opt_lib.build_optimizer(config.train_config)
+        self._tx = tx
+        self._use_ema = use_ema
+
+        self._eval_step = self._build_eval_step()
+        self._template_state = None
+
+        # Ledger of evaluated checkpoints
+        os.makedirs(config.exp_output_dir, exist_ok=True)
+        self.ledger_path = os.path.join(
+            config.exp_output_dir,
+            'evaluated_{}.txt'.format(dataset.data_split))
+
+        # Native eval availability
+        self.native_eval_dir = os.path.join(
+            monopsr_tpu.scripts_dir(), 'offline_eval', 'kitti_native_eval')
+
+    # -- jitted step -------------------------------------------------------
+
+    def _build_eval_step(self):
+        net, cfg, loss_config = self.net, self.cfg, self.loss_config
+        compute_losses = self.eval_mode == 'val'
+
+        def eval_step(variables, sample):
+            outputs = net.apply(
+                variables, **monopsr.net_inputs_from_batch(sample),
+                train=False)
+            if not compute_losses:
+                return outputs, {}, {}
+            gt = monopsr.build_gt_dict(cfg, sample, outputs)
+            outputs, gt = monopsr.add_global_outputs(
+                cfg, sample, outputs, gt)
+            losses, _ = monopsr.compute_losses(
+                cfg, loss_config, outputs, gt)
+            metrics = monopsr.compute_metrics(cfg, outputs, gt)
+            return outputs, losses, metrics
+
+        return jax.jit(eval_step)
+
+    # -- checkpoint management ----------------------------------------------
+
+    def _get_template_state(self, sample):
+        if self._template_state is None:
+            variables = jax.jit(lambda s: self.net.init(
+                jax.random.PRNGKey(0),
+                **monopsr.net_inputs_from_batch(s), train=False))(sample)
+            self._template_state = jax.jit(
+                lambda v: TrainState.create(
+                    v, self._tx, use_ema=self._use_ema))(variables)
+        return self._template_state
+
+    def restore_checkpoint(self, manager, step, sample):
+        import orbax.checkpoint as ocp
+        template = self._get_template_state(sample)
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+            template)
+        return manager.restore(step,
+                               args=ocp.args.StandardRestore(abstract))
+
+    def get_evaluated_ckpts(self):
+        if not os.path.exists(self.ledger_path):
+            return set()
+        with open(self.ledger_path) as f:
+            return {int(line) for line in f.read().split() if line}
+
+    def _mark_evaluated(self, step):
+        with open(self.ledger_path, 'a') as f:
+            f.write('{}\n'.format(int(step)))
+
+    # -- single-checkpoint evaluation -------------------------------------
+
+    def _output_dirs(self, global_step):
+        base = self.config.pred_dir
+        split = self.dataset.data_split
+        dirs = {
+            C.OUT_DIR_BOX_3D: os.path.join(
+                base, 'box_3d', split, str(global_step)),
+            C.OUT_DIR_BOX_2D: os.path.join(
+                base, 'box_2d', split, str(global_step)),
+            C.OUT_DIR_XYZ_MAP_LOCAL: os.path.join(
+                base, 'xyz_map_local', split, str(global_step)),
+        }
+        for d in dirs.values():
+            os.makedirs(d, exist_ok=True)
+        return dirs
+
+    def run_checkpoint_once(self, state, global_step):
+        """Evaluates one checkpoint over a full dataset epoch."""
+        dataset = self.dataset
+        variables = state.eval_variables(use_ema=self.use_ema_weights)
+        output_dirs = self._output_dirs(global_step)
+
+        loss_sums, loss_counts = {}, {}
+        metric_values = {}
+        feed_times, infer_times = [], []
+
+        num_evaluated = 0
+        dataset._index_in_epoch = 0
+        dataset.epochs_completed = 0
+
+        for _ in range(dataset.num_samples):
+            t0 = time.time()
+            sample = dataset.next_batch(1, shuffle=False)[0]
+            if sample is None:
+                continue
+            device_sample = trainer_lib.prepare_sample(
+                sample, self.cfg.image_input_shape)
+            feed_times.append(time.time() - t0)
+
+            t0 = time.time()
+            step_out = self._eval_step(variables, device_sample)
+            # One packed transfer for everything coming off the device
+            outputs, losses, metrics = transfer.device_get_packed(step_out)
+            infer_times.append(time.time() - t0)
+
+            num_objs = int(sample[C.SAMPLE_NUM_OBJS])
+
+            # Aggregate losses (NaN-filtered like the reference :276)
+            for name, value in losses.items():
+                v = float(value)
+                if np.isfinite(v):
+                    loss_sums[name] = loss_sums.get(name, 0.0) + v
+                    loss_counts[name] = loss_counts.get(name, 0) + 1
+
+            # Aggregate per-box metrics over valid slots
+            for name, value in metrics.items():
+                arr = np.asarray(value)[0:num_objs]
+                metric_values.setdefault(name, []).append(arr.ravel())
+
+            pred_dict = predictions.format_predictions(
+                self.cfg, outputs, sample, dataset,
+                self.eval_mode if self.eval_mode != 'val' else 'val',
+                post_process_cen_x=self.post_process_cen_x)
+            predictions.save_predictions(
+                pred_dict, sample[C.SAMPLE_NAME], output_dirs)
+            num_evaluated += 1
+
+        print('Evaluated {} samples at step {}'.format(
+            num_evaluated, global_step))
+        kitti_writers.print_inference_time_statistics(
+            feed_times, infer_times)
+
+        results = {'step': int(global_step),
+                   'num_samples': num_evaluated}
+
+        if self.eval_mode == 'val':
+            avg_losses = {name: loss_sums[name] / max(loss_counts[name], 1)
+                          for name in loss_sums}
+            results['losses'] = avg_losses
+
+            metrics_flat = {name: np.concatenate(vals)
+                            for name, vals in metric_values.items()}
+            metrics_dir = os.path.join(self.config.exp_output_dir,
+                                       'metrics')
+            kitti_writers.save_metrics(
+                metrics_dir, global_step, dataset.data_split,
+                metrics_flat)
+            results['metrics'] = {
+                name: float(np.mean(v[np.isfinite(v)]))
+                if np.isfinite(v).any() else float('nan')
+                for name, v in metrics_flat.items()}
+
+        # Write eval scalar log
+        log_path = os.path.join(self.config.logdir,
+                                'eval_{}.jsonl'.format(dataset.data_split))
+        os.makedirs(self.config.logdir, exist_ok=True)
+        with open(log_path, 'a') as f:
+            f.write(json.dumps(results, default=float) + '\n')
+
+        # Convert to KITTI format + native AP eval
+        kitti_dir, _ = kitti_writers.save_predictions_box_3d_in_kitti_format(
+            self.score_threshold, dataset, self.config.pred_dir,
+            output_dirs[C.OUT_DIR_BOX_3D], output_dirs[C.OUT_DIR_BOX_2D],
+            global_step)
+
+        if self.do_kitti_native_eval and self.eval_mode == 'val':
+            self.run_kitti_native_eval(global_step)
+
+        return results
+
+    # -- native eval -------------------------------------------------------
+
+    def compile_kitti_native_code(self):
+        """Compile-on-demand hook (ref: evaluator_utils.py:457-469)."""
+        binary = os.path.join(self.native_eval_dir,
+                              'evaluate_object_3d_offline')
+        if os.path.exists(binary):
+            return True
+        makefile = os.path.join(self.native_eval_dir, 'Makefile')
+        if not os.path.exists(makefile):
+            print('[native eval] not available at', self.native_eval_dir)
+            return False
+        subprocess.run(['make', '-C', self.native_eval_dir], check=True)
+        return os.path.exists(binary)
+
+    def run_kitti_native_eval(self, global_step, background=True):
+        """Runs the C++ AP evaluator at both IoU regimes
+        (ref: evaluator.py:528-564)."""
+        if not self.compile_kitti_native_code():
+            return None
+
+        script = os.path.join(self.native_eval_dir, 'run_eval.sh')
+        args = [script,
+                self.native_eval_dir,
+                self.config.config_name,
+                str(round(self.score_threshold, 3)),
+                str(int(global_step)),
+                os.path.abspath(self.config.pred_dir),
+                os.path.join(self.dataset.data_split_dir, 'label_2'),
+                self.dataset.data_split]
+        if background:
+            proc = multiprocessing.Process(
+                target=subprocess.run, args=(args,),
+                kwargs={'check': False})
+            proc.start()
+            return proc
+        subprocess.run(args, check=False)
+        return None
+
+    # -- polling loops ------------------------------------------------------
+
+    def repeated_checkpoint_run(self, max_wait_iterations=100):
+        """Polls the checkpoint dir, evaluating new checkpoints as they
+        appear (ref: evaluator.py:445-505)."""
+        manager = trainer_lib.create_checkpoint_manager(
+            self.config.checkpoint_dir)
+        sample = self._first_valid_sample()
+
+        waits = 0
+        last_seen = None
+        while waits < max_wait_iterations:
+            steps = sorted(manager.all_steps())
+            evaluated = (self.get_evaluated_ckpts()
+                         if self.skip_evaluated_checkpoints else set())
+            todo = [s for s in steps if s not in evaluated]
+
+            if todo:
+                waits = 0
+                for step in todo:
+                    state = self.restore_checkpoint(manager, step, sample)
+                    self.run_checkpoint_once(state, step)
+                    self._mark_evaluated(step)
+                    last_seen = step
+            else:
+                waits += 1
+                time.sleep(self.eval_wait_interval)
+
+        return last_seen
+
+    def run_latest_checkpoints(self, ckpt_indices=None):
+        """Evaluates specific checkpoints ('all' or a list of steps)."""
+        manager = trainer_lib.create_checkpoint_manager(
+            self.config.checkpoint_dir)
+        steps = sorted(manager.all_steps())
+        if not steps:
+            raise RuntimeError('No checkpoints found in ' +
+                               self.config.checkpoint_dir)
+        if ckpt_indices is not None and ckpt_indices != 'all':
+            wanted = {int(i) for i in np.atleast_1d(ckpt_indices)}
+            steps = [s for s in steps if s in wanted]
+
+        sample = self._first_valid_sample()
+        results = []
+        for step in steps:
+            state = self.restore_checkpoint(manager, step, sample)
+            results.append(self.run_checkpoint_once(state, step))
+        return results
+
+    def _first_valid_sample(self):
+        sample = trainer_lib._first_valid_sample(self.dataset, self.cfg)
+        self.dataset._index_in_epoch = 0
+        self.dataset.epochs_completed = 0
+        return sample

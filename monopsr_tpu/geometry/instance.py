@@ -60,6 +60,8 @@ def instance_xyz_crop_from_depth_map(depth_map,
         valid_mask: (N, h, w, 1) valid-pixel mask.
     """
     roi_h, roi_w = roi_size
+    depth_map = jnp.asarray(depth_map)
+    instance_img = jnp.asarray(instance_img)
     height, width = depth_map.shape
 
     boxes_r = jnp.round(boxes_2d).astype(jnp.int32)

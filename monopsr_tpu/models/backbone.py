@@ -1,0 +1,98 @@
+"""Dual-tower feature extraction: resnet101_4x_squash.
+
+Behavioral twin of the reference net builder
+(ref: src/monopsr/builders/net_builder.py:30-96): two ResNet-101 stride-4
+encoders (48x48 RGB crops per box, resized full image), per-box crop of
+the full-image features, concat, 1x1 squash conv + max pool for box
+features, and a 2-stage resize+conv decoder for 48x48 map features.
+
+TPU notes: the per-box full-image feature crop is one batched gather
+(ops.crop_resize), both towers run in bfloat16, and the crop tower sees
+the box axis as its batch axis (32-way batch on the MXU).
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from monopsr_tpu.models.resnet import RESNET_SPECS, ResNetV1
+from monopsr_tpu.ops import crop_resize
+
+
+class MapDecoder(nn.Module):
+    """resize -> 2x conv3x3(256) BN -> resize -> 2x conv3x3(128) BN."""
+    map_roi_size: tuple = (48, 48)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train):
+        half = (self.map_roi_size[0] // 2, self.map_roi_size[1] // 2)
+        x = crop_resize.resize_bilinear_align_corners(x, half)
+        for i in range(2):
+            x = nn.Conv(256, (3, 3), padding='SAME', dtype=self.dtype,
+                        name='conv2_{}'.format(i + 1))(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.997,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name='conv2_{}_bn'.format(i + 1))(x)
+            x = nn.relu(x)
+        x = crop_resize.resize_bilinear_align_corners(x, self.map_roi_size)
+        for i in range(2):
+            x = nn.Conv(128, (3, 3), padding='SAME', dtype=self.dtype,
+                        name='conv3_{}'.format(i + 1))(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.997,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name='conv3_{}_bn'.format(i + 1))(x)
+            x = nn.relu(x)
+        return x
+
+
+class Resnet101_4xSquash(nn.Module):
+    """Two-tower encoder producing map features and box-3d features.
+
+    Returns:
+        features_for_map: (N, 48, 48, 128)
+        features_for_box_3d: (N, 6, 6, 512)
+    """
+    map_roi_size: tuple = (48, 48)
+    output_stride: int = 4
+    resnet: str = 'resnet101'
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, rgb_crops, full_img, boxes_2d_norm, train):
+        """
+        Args:
+            rgb_crops: (N, 48, 48, 3) preprocessed per-box crops.
+            full_img: (1, H, W, 3) preprocessed resized full image.
+            boxes_2d_norm: (N, 4) normalized boxes for feature cropping.
+            train: training mode (affects decoder BN only).
+        """
+        spec = RESNET_SPECS[self.resnet]
+
+        crop_feats = ResNetV1(
+            spec=spec, output_stride=self.output_stride, dtype=self.dtype,
+            name='tower_crop')(rgb_crops)            # (N, 12, 12, 1024)
+        full_feats = ResNetV1(
+            spec=spec, output_stride=self.output_stride, dtype=self.dtype,
+            name='tower_full')(full_img)             # (1, H/4, W/4, 1024)
+
+        # Per-box crop of the full-image features: crop_and_resize to
+        # half the map ROI, then 2x2 max pool (ref: net_builder.py:54-60)
+        half = (self.map_roi_size[0] // 2, self.map_roi_size[1] // 2)
+        full_crops = crop_resize.crop_and_resize_bilinear(
+            full_feats[0], boxes_2d_norm.astype(jnp.float32), half)
+        full_crops = nn.max_pool(full_crops, (2, 2), strides=(2, 2))
+
+        concat = jnp.concatenate(
+            [crop_feats, full_crops.astype(self.dtype)], axis=-1)
+
+        squashed = nn.Conv(512, (1, 1), dtype=self.dtype,
+                           name='squash_1x1')(concat)
+        squashed = nn.relu(squashed)
+        pooled = nn.max_pool(squashed, (2, 2), strides=(2, 2))
+
+        map_features = MapDecoder(
+            map_roi_size=self.map_roi_size, dtype=self.dtype,
+            name='map_decoder')(squashed, train)
+
+        return (map_features.astype(jnp.float32),
+                pooled.astype(jnp.float32))

@@ -1,0 +1,317 @@
+"""MonoPSR network: dual towers + map heads + proposal/regression FC heads.
+
+Behavioral twin of the reference model graph
+(ref: src/monopsr/core/models/monopsr/monopsr_model.py:138-492 and
+monopsr_output_builder.py:36-802), restructured as a single Flax module
+whose batch axis is the proposal axis (fixed `num_boxes` slots).
+
+Output-type coverage (canonical config monopsr_model_000.yaml):
+    inst_xyz_map_local: 'map'     valid_mask_maps: 'mask' (always on)
+    lwh: 'offset' | 'est'         alpha: 'dc' | 'prob'
+    view_ang: 'est' | 'offset'    cen_x: 'from_view_ang_and_z'
+    cen_y: 'offset' | 'est'       cen_z: 'offset' | 'direct'
+
+The global-map heads and the projection-alignment error are assembled
+outside the module (they consume GT viewing angles during train/val);
+see monopsr_tpu.models.monopsr.
+"""
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from monopsr_tpu import constants
+from monopsr_tpu.geometry import class_stats, instance
+from monopsr_tpu.models.backbone import Resnet101_4xSquash
+from monopsr_tpu.ops import crop_resize
+
+_XAVIER = nn.initializers.xavier_uniform()
+
+
+@dataclasses.dataclass(frozen=True)
+class NetConfig:
+    """Static model configuration (hashable for jit)."""
+    num_boxes: int = 32
+    num_alpha_bins: int = 12
+    num_classes: int = 1
+    image_input_shape: Tuple[int, int] = (320, 1216)
+    resized_full_img_shape: Tuple[int, int] = (160, 608)
+    img_roi_size: Tuple[int, int] = (48, 48)
+    map_roi_size: Tuple[int, int] = (48, 48)
+    proposal_fc_sizes: Tuple[int, ...] = (1024, 1024)
+    regression_fc_sizes: Tuple[int, ...] = (1024, 1024)
+    dropout_keep_prob: float = 1.0
+    max_depth: float = 45.0
+    mean_sub_type: str = 'kitti'
+    output_stride: int = 4
+    resnet: str = 'resnet101'
+    compute_dtype: str = 'bfloat16'
+    # Output types
+    lwh_type: str = 'offset'
+    alpha_type: str = 'dc'
+    view_ang_type: str = 'est'
+    cen_y_type: str = 'offset'
+    cen_z_type: str = 'offset'
+    rotate_view: bool = True
+    centroid_type: str = 'middle'
+
+    @staticmethod
+    def from_model_config(model_config, dataset_config):
+        oc = model_config.output_config
+        return NetConfig(
+            num_boxes=dataset_config.num_boxes,
+            num_alpha_bins=dataset_config.num_alpha_bins,
+            num_classes=len(dataset_config.classes),
+            image_input_shape=tuple(model_config.image_input_shape),
+            resized_full_img_shape=tuple(
+                model_config.resized_full_img_shape),
+            img_roi_size=tuple(model_config.img_roi_size),
+            map_roi_size=tuple(model_config.map_roi_size),
+            proposal_fc_sizes=tuple(
+                model_config.proposal_fc_layers.layer_sizes),
+            regression_fc_sizes=tuple(
+                model_config.regression_fc_layers.layer_sizes),
+            dropout_keep_prob=float(
+                model_config.proposal_fc_layers.dropout_keep_prob),
+            max_depth=float(
+                dataset_config.obj_filter_config.depth_range[1]),
+            mean_sub_type=model_config.mean_sub_type,
+            compute_dtype=model_config.get('compute_dtype', 'bfloat16'),
+            resnet=model_config.get('resnet', 'resnet101'),
+            output_stride=model_config.get('output_stride', 4),
+            lwh_type=oc.lwh,
+            alpha_type=oc.alpha,
+            view_ang_type=oc.view_ang,
+            cen_y_type=oc.cen_y,
+            cen_z_type=oc.cen_z,
+            rotate_view=model_config.rotate_view,
+            centroid_type=model_config.centroid_type,
+        )
+
+
+def _box_feature_concat(boxes_2d, view_angs, class_indices, cam_p,
+                        image_shape, num_classes):
+    """Shared normalized box/camera feature block for the FC trunks
+    (ref: monopsr_output_builder.py:142-180, 226-248)."""
+    cu, cv = cam_p[0, 2], cam_p[1, 2]
+    box_ij = boxes_2d - jnp.stack([cv, cu, cv, cu])
+    half = jnp.asarray([image_shape[0] / 2.0, image_shape[1] / 2.0,
+                        image_shape[0] / 2.0, image_shape[1] / 2.0])
+    box_ij_norm = box_ij / half
+
+    box_h_norm = ((boxes_2d[:, 2] - boxes_2d[:, 0]) /
+                  image_shape[0])[:, None]
+
+    # Class indices are 1-based (0 = background). one_hot with the raw
+    # index maps out-of-range (idx == num_classes) to all-zeros — the
+    # reference's exact behavior (monopsr_output_builder.py:158-160),
+    # including the all-zero embedding for single-class runs.
+    class_one_hot = jax.nn.one_hot(
+        jnp.squeeze(class_indices, axis=-1), num_classes)
+
+    cam_norm = (cam_p.reshape(1, 12) /
+                jnp.asarray([1000.0, 1.0, 1000.0, 100.0,
+                             1.0, 1000.0, 1000.0, 1.0,
+                             1.0, 1.0, 1.0, 1.0]))
+    cam_tiled = jnp.tile(cam_norm, (boxes_2d.shape[0], 1))
+
+    return [box_ij_norm, box_h_norm, view_angs, class_one_hot, cam_tiled]
+
+
+class FCTrunk(nn.Module):
+    """img_fc(1024) on flattened box features, concat extras, FC stack."""
+    layer_sizes: Sequence[int]
+    dropout_keep_prob: float = 1.0
+
+    @nn.compact
+    def __call__(self, box_features, extras, train):
+        flat = box_features.reshape(box_features.shape[0], -1)
+        img_fc = nn.relu(nn.Dense(1024, kernel_init=_XAVIER,
+                                  name='img_fc')(flat))
+        x = jnp.concatenate([img_fc] + extras, axis=1)
+        for i, size in enumerate(self.layer_sizes):
+            x = nn.relu(nn.Dense(size, kernel_init=_XAVIER,
+                                 name='fc{}'.format(i))(x))
+            if self.dropout_keep_prob < 1.0:
+                x = nn.Dropout(rate=1.0 - self.dropout_keep_prob,
+                               deterministic=not train,
+                               name='fc{}_drop'.format(i))(x)
+        return x
+
+
+class MonoPSRNet(nn.Module):
+    """Full MonoPSR forward network over one image's proposal slots."""
+    cfg: NetConfig
+
+    @nn.compact
+    def __call__(self, image, boxes_2d, boxes_2d_norm, view_angs,
+                 class_indices, mean_lwh, prop_cen_z_offsets,
+                 cen_y_offsets, cam_p, train=False):
+        """
+        Args:
+            image: (H_in, W_in, 3) RGB image already resized to
+                image_input_shape (raw 0-255 values; mean sub here).
+            boxes_2d: (N, 4) [y1, x1, y2, x2] original-pixel boxes.
+            boxes_2d_norm: (N, 4) boxes normalized by the original image
+                shape.
+            view_angs: (N,) 2D-box viewing-angle estimates.
+            class_indices: (N, 1) 1-based class indices.
+            mean_lwh: (N, 3) per-class mean dimensions.
+            prop_cen_z_offsets: (N,) per-class proposal depth offsets.
+            cen_y_offsets: (N,) per-class cen_y trend offsets.
+            cam_p: (3, 4) camera projection matrix.
+            train: training mode.
+
+        Returns:
+            dict of outputs keyed by monopsr_tpu.constants KEY_*.
+        """
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' \
+            else jnp.float32
+
+        # Preprocess: mean subtraction (ref: img_preprocessor.py:12-35)
+        means = (class_stats.KITTI_CHANNEL_MEANS
+                 if cfg.mean_sub_type == 'kitti'
+                 else class_stats.IMAGENET_CHANNEL_MEANS)
+        img = image.astype(jnp.float32) - jnp.asarray(means)
+
+        # Per-box RGB crops (ref: monopsr_model.py:222-226)
+        rgb_crops = crop_resize.crop_and_resize_bilinear(
+            img, boxes_2d_norm, cfg.img_roi_size)
+
+        # Resized full image (ref: monopsr_model.py:228-233)
+        full_img = crop_resize.resize_bilinear_align_corners(
+            img[None], cfg.resized_full_img_shape)
+
+        features_for_map, features_for_box_3d = Resnet101_4xSquash(
+            map_roi_size=cfg.map_roi_size,
+            output_stride=cfg.output_stride,
+            resnet=cfg.resnet, dtype=dtype, name='backbone')(
+                rgb_crops, full_img, boxes_2d_norm, train)
+
+        outputs = {}
+
+        # Map heads (ref: monopsr_output_builder.py:95-120)
+        outputs[constants.KEY_INST_XYZ_MAP_LOCAL] = nn.Conv(
+            3, (3, 3), padding='SAME', kernel_init=_XAVIER,
+            name='inst_xyz_map_local')(features_for_map)
+        outputs[constants.KEY_VALID_MASK_MAPS] = nn.Conv(
+            1, (3, 3), padding='SAME', kernel_init=_XAVIER,
+            name='valid_mask_maps')(features_for_map)
+
+        # Proposal FC trunk
+        view_angs_col = view_angs[:, None]
+        extras = _box_feature_concat(
+            boxes_2d, view_angs_col, class_indices, cam_p,
+            cfg.image_input_shape, cfg.num_classes)
+        prop_fc = FCTrunk(cfg.proposal_fc_sizes, cfg.dropout_keep_prob,
+                          name='proposal_fc')(
+            features_for_box_3d, extras, train)
+
+        # lwh head (ref: monopsr_output_builder.py:625-661)
+        if cfg.lwh_type == 'offset':
+            lwh_offs = nn.Dense(3, kernel_init=_XAVIER, name='lwh')(prop_fc)
+            pred_lwh = mean_lwh + lwh_offs
+        elif cfg.lwh_type == 'est':
+            lwh_offs = mean_lwh
+            pred_lwh = mean_lwh
+        else:
+            raise NotImplementedError('lwh type ' + cfg.lwh_type)
+        outputs[constants.KEY_LWH + '_offs'] = lwh_offs
+        outputs[constants.KEY_LWH] = pred_lwh
+
+        # alpha head (ref: monopsr_output_builder.py:276-393)
+        nb = cfg.num_alpha_bins
+        if cfg.alpha_type == 'dc':
+            ori = nn.Dense(nb * 2, kernel_init=_XAVIER,
+                           name='alpha')(prop_fc)
+            outputs[constants.KEY_ALPHA_BINS] = ori[:, 0:nb]
+            outputs[constants.KEY_ALPHA_REGS] = ori[:, nb:nb * 2]
+        elif cfg.alpha_type == 'prob':
+            bins = nn.Dense(nb, kernel_init=_XAVIER, name='alpha')(prop_fc)
+            softmax = nn.softmax(bins)
+            half_bin = jnp.pi / nb
+            centres = jnp.linspace(half_bin, 2 * jnp.pi - half_bin, nb)
+            comp = softmax @ jnp.stack(
+                [jnp.cos(centres), jnp.sin(centres)], axis=1)
+            outputs[constants.KEY_ALPHA_BINS] = bins
+            outputs[constants.KEY_ALPHA] = (
+                jnp.arctan2(comp[:, 1], comp[:, 0])[:, None])
+        else:
+            raise NotImplementedError('alpha type ' + cfg.alpha_type)
+
+        # Viewing-angle head (ref: monopsr_output_builder.py:509-549)
+        if cfg.view_ang_type == 'est':
+            pred_view_angs = view_angs_col
+            view_ang_offs = jnp.zeros_like(view_angs_col)
+        elif cfg.view_ang_type == 'offset':
+            view_ang_offs = nn.Dense(1, kernel_init=_XAVIER,
+                                     name='view_ang')(prop_fc)
+            pred_view_angs = view_angs_col + view_ang_offs
+        else:
+            raise NotImplementedError('view_ang ' + cfg.view_ang_type)
+        outputs[constants.KEY_VIEW_ANG + '_offs'] = view_ang_offs
+        outputs[constants.KEY_VIEW_ANG] = pred_view_angs
+
+        # Centroid proposals (ref: monopsr_output_builder.py:407-438)
+        prop_cen_z = instance.prop_cen_z_from_box_height(
+            cam_p, boxes_2d, pred_lwh[:, 2], prop_cen_z_offsets)
+        outputs[constants.KEY_PROP_CEN_Z] = prop_cen_z
+        prop_cen_y = instance.est_y_from_box_2d_and_depth(
+            cam_p, boxes_2d, prop_cen_z, cen_y_offsets)
+
+        # Regression FC trunk with appended early estimates
+        # (ref: monopsr_output_builder.py:200-274)
+        reg_extras = extras + [
+            lwh_offs,
+            outputs[constants.KEY_ALPHA_BINS],
+            outputs.get(constants.KEY_ALPHA_REGS,
+                        jnp.zeros_like(outputs[constants.KEY_ALPHA_BINS])),
+            prop_cen_y / class_stats.PROP_CEN_Y_NORM,
+            prop_cen_z / cfg.max_depth,
+        ]
+        reg_fc = FCTrunk(cfg.regression_fc_sizes, cfg.dropout_keep_prob,
+                         name='regression_fc')(
+            features_for_box_3d, reg_extras, train)
+
+        # cen_y head (ref: monopsr_output_builder.py:573-609)
+        if cfg.cen_y_type == 'offset':
+            cen_y_offs = nn.Dense(1, kernel_init=_XAVIER,
+                                  name='cen_y')(reg_fc)
+            pred_cen_y = prop_cen_y + cen_y_offs
+        elif cfg.cen_y_type == 'est':
+            cen_y_offs = jnp.zeros_like(prop_cen_y)
+            pred_cen_y = prop_cen_y
+        else:
+            raise NotImplementedError('cen_y ' + cfg.cen_y_type)
+        outputs[constants.KEY_CEN_Y + '_offs'] = cen_y_offs
+        outputs[constants.KEY_CEN_Y] = pred_cen_y
+        outputs['prop_cen_y'] = prop_cen_y
+
+        # cen_z head (ref: monopsr_output_builder.py:441-507)
+        if cfg.cen_z_type == 'offset':
+            cen_z_offs = nn.Dense(1, kernel_init=_XAVIER,
+                                  name='cen_z')(reg_fc)
+            pred_cen_z = prop_cen_z + cen_z_offs
+        elif cfg.cen_z_type == 'direct':
+            pred_cen_z = nn.Dense(1, kernel_init=_XAVIER,
+                                  name='cen_z')(reg_fc)
+            cen_z_offs = pred_cen_z - prop_cen_z
+        else:
+            raise NotImplementedError('cen_z ' + cfg.cen_z_type)
+        outputs[constants.KEY_CEN_Z + '_offs'] = cen_z_offs
+        outputs[constants.KEY_CEN_Z] = pred_cen_z
+
+        # cen_x from viewing angle and depth
+        # (ref: monopsr_output_builder.py:551-571)
+        x_offset = -cam_p[0, 3] / cam_p[0, 0]
+        pred_cen_x = pred_cen_z * jnp.tan(pred_view_angs) + x_offset
+        outputs[constants.KEY_CEN_X] = pred_cen_x
+
+        outputs[constants.KEY_CENTROIDS] = jnp.concatenate(
+            [pred_cen_x, pred_cen_y, pred_cen_z], axis=1)
+
+        return outputs

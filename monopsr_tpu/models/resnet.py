@@ -1,0 +1,170 @@
+"""ResNet v1 backbone with slim-style output_stride (atrous) semantics.
+
+Behavioral twin of the slim ResNet used by the reference's feature
+extractor (ref: src/object_detection/nets/resnet_v1.py:142-334,
+resnet_utils.py:126-272, tapped at block3 by
+faster_rcnn_resnet_v1_feature_extractor.py:197-245 with output_stride=4).
+
+Semantics reproduced:
+- root: 7x7/2 conv (fixed symmetric pad) + 3x3/2 SAME max pool -> stride 4
+- bottleneck units with the stride on the middle 3x3 conv, the block's
+  nominal stride on its LAST unit
+- `stack_blocks_dense` atrous mode: once the accumulated stride reaches
+  `output_stride`, every subsequent unit runs at stride 1 and the unit's
+  nominal stride multiplies the dilation rate instead
+- batch norm in inference mode (frozen statistics) with trainable
+  scale/offset — the reference never trains tower BN
+  (`_train_batch_norm = False`, ref: feature extractor ctor :35-66)
+
+TPU notes: convs run in a configurable compute dtype (bfloat16 by
+default) with fp32 params; BN folds into a single scale/bias multiply
+that XLA fuses into the convolutions.
+"""
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+# (num_units, bottleneck_depth) per block; output depth = 4x bottleneck
+RESNET_SPECS = {
+    'resnet50': ((3, 64), (4, 128), (6, 256), (3, 512)),
+    'resnet101': ((3, 64), (4, 128), (23, 256), (3, 512)),
+    'resnet152': ((3, 64), (8, 256), (36, 256), (3, 512)),
+    # Tiny spec for CPU tests and fast iteration (same topology rules)
+    'resnet_tiny': ((1, 4), (1, 8), (1, 16), (1, 32)),
+}
+
+
+class FrozenBatchNorm(nn.Module):
+    """Batch norm with frozen statistics and trainable scale/offset.
+
+    Moving mean/variance live in the 'batch_stats' collection (loaded
+    from pretrained weights, never updated); gamma/beta are parameters.
+    """
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (features,))
+        bias = self.param('bias', nn.initializers.zeros, (features,))
+        mean = self.variable('batch_stats', 'mean',
+                             nn.initializers.zeros, None, (features,))
+        var = self.variable('batch_stats', 'var',
+                            nn.initializers.ones, None, (features,))
+
+        # Fold into one multiply-add (fuses into the preceding conv)
+        inv = (scale / jnp.sqrt(var.value + self.epsilon)).astype(self.dtype)
+        b = (bias - mean.value * scale /
+             jnp.sqrt(var.value + self.epsilon)).astype(self.dtype)
+        return x * inv + b
+
+
+def _conv_same(x, features, kernel, stride, rate, dtype, name):
+    """slim conv2d_same: fixed symmetric padding then VALID for stride > 1,
+    plain SAME for stride 1 (ref: resnet_utils.py conv2d_same)."""
+    if stride == 1:
+        padding = 'SAME'
+    else:
+        k_eff = kernel + (kernel - 1) * (rate - 1)
+        pad_total = k_eff - 1
+        pad_beg = pad_total // 2
+        pad_end = pad_total - pad_beg
+        padding = [(pad_beg, pad_end), (pad_beg, pad_end)]
+    return nn.Conv(
+        features, (kernel, kernel), strides=(stride, stride),
+        padding=padding, kernel_dilation=(rate, rate), use_bias=False,
+        dtype=dtype, name=name)(x)
+
+
+class Bottleneck(nn.Module):
+    """ResNet v1 bottleneck: 1x1 -> 3x3(stride, rate) -> 1x1 + shortcut."""
+    depth: int
+    depth_bottleneck: int
+    stride: int
+    rate: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        depth_in = x.shape[-1]
+
+        if depth_in == self.depth:
+            if self.stride == 1:
+                shortcut = x
+            else:
+                shortcut = nn.max_pool(
+                    x, (1, 1), strides=(self.stride, self.stride))
+        else:
+            shortcut = nn.Conv(
+                self.depth, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name='shortcut')(x)
+            shortcut = FrozenBatchNorm(
+                dtype=self.dtype, name='shortcut_bn')(shortcut)
+
+        y = nn.Conv(self.depth_bottleneck, (1, 1), use_bias=False,
+                    dtype=self.dtype, name='conv1')(x)
+        y = FrozenBatchNorm(dtype=self.dtype, name='bn1')(y)
+        y = nn.relu(y)
+
+        y = _conv_same(y, self.depth_bottleneck, 3, self.stride,
+                       self.rate, self.dtype, 'conv2')
+        y = FrozenBatchNorm(dtype=self.dtype, name='bn2')(y)
+        y = nn.relu(y)
+
+        y = nn.Conv(self.depth, (1, 1), use_bias=False,
+                    dtype=self.dtype, name='conv3')(y)
+        y = FrozenBatchNorm(dtype=self.dtype, name='bn3')(y)
+
+        return nn.relu(shortcut + y)
+
+
+class ResNetV1(nn.Module):
+    """ResNet v1 trunk up to (and including) block3, atrous-aware.
+
+    Attributes:
+        spec: per-block (num_units, bottleneck_depth) tuples.
+        output_stride: requested input/output resolution ratio.
+        num_blocks: how many blocks to run (3 taps block3 like the
+            reference proposal-feature extractor).
+        dtype: compute dtype (params stay fp32).
+    """
+    spec: Sequence = RESNET_SPECS['resnet101']
+    output_stride: int = 4
+    num_blocks: int = 3
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+
+        # Root: conv7x7/2 + maxpool3x3/2 SAME
+        x = _conv_same(x, 64, 7, 2, 1, self.dtype, 'conv1')
+        x = FrozenBatchNorm(dtype=self.dtype, name='conv1_bn')(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding='SAME')
+
+        current_stride = 4
+        rate = 1
+
+        for block_idx, (num_units, depth_bottleneck) in enumerate(
+                self.spec[:self.num_blocks]):
+            depth = depth_bottleneck * 4
+            for unit_idx in range(num_units):
+                nominal_stride = 2 if unit_idx == num_units - 1 else 1
+                if (self.output_stride is not None and
+                        current_stride == self.output_stride):
+                    unit_stride, unit_rate = 1, rate
+                    rate *= nominal_stride
+                else:
+                    unit_stride, unit_rate = nominal_stride, 1
+                    current_stride *= nominal_stride
+                x = Bottleneck(
+                    depth=depth, depth_bottleneck=depth_bottleneck,
+                    stride=unit_stride, rate=unit_rate, dtype=self.dtype,
+                    name='block{}_unit{}'.format(block_idx + 1,
+                                                 unit_idx + 1))(x)
+
+        return x

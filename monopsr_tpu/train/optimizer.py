@@ -1,0 +1,66 @@
+"""Optimizer construction from the YAML train_config.
+
+Behavioral twin of the reference optimizer builder
+(ref: src/monopsr/builders/optimizer_builder.py:23-118): rms_prop /
+momentum / adam / gradient_descent with constant or exponential-decay
+learning rates, global-norm gradient clipping (the reference trainer
+clips to 1.0, ref: trainer.py:77-81), and optional parameter EMA
+(MovingAverageOptimizer equivalent; the EMA is tracked in the train
+state and preferred by the evaluator).
+"""
+
+import optax
+
+
+def build_learning_rate(opt_config):
+    """Builds an optax schedule from the optimizer sub-config."""
+    lr_type = opt_config.learning_rate_type
+
+    if lr_type == 'constant':
+        return optax.constant_schedule(opt_config.learning_rate)
+
+    if lr_type == 'exponential_decay':
+        return optax.exponential_decay(
+            init_value=opt_config.initial_learning_rate,
+            transition_steps=opt_config.decay_steps,
+            decay_rate=opt_config.decay_factor,
+            staircase=bool(opt_config.get('staircase', True)))
+
+    raise ValueError('Invalid learning rate type: ' + str(lr_type))
+
+
+def build_optimizer(train_config, clip_gradient_norm=1.0):
+    """Builds the optax GradientTransformation + schedule.
+
+    Returns:
+        (tx, schedule, use_ema, ema_decay)
+    """
+    optimizer_config = train_config.optimizer
+    opt_type = optimizer_config.optimizer_type
+    opt_config = getattr(optimizer_config, opt_type)
+
+    schedule = build_learning_rate(opt_config)
+
+    if opt_type == 'adam_optimizer':
+        opt = optax.adam(schedule)
+    elif opt_type == 'momentum_optimizer':
+        opt = optax.sgd(schedule,
+                        momentum=opt_config.momentum_optimizer_value)
+    elif opt_type == 'rms_prop_optimizer':
+        opt = optax.rmsprop(
+            schedule,
+            decay=opt_config.get('decay', 0.9),
+            momentum=opt_config.get('momentum_optimizer_value', 0.9),
+            eps=opt_config.get('epsilon', 1.0))
+    elif opt_type == 'gradient_descent_optimizer':
+        opt = optax.sgd(schedule)
+    else:
+        raise ValueError('Invalid optimizer type: ' + str(opt_type))
+
+    chain = [optax.clip_by_global_norm(clip_gradient_norm), opt] \
+        if clip_gradient_norm else [opt]
+    tx = optax.chain(*chain)
+
+    use_ema = bool(opt_config.get('use_moving_average', False))
+    ema_decay = float(opt_config.get('moving_average_decay', 0.9999))
+    return tx, schedule, use_ema, ema_decay

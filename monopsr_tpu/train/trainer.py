@@ -1,0 +1,250 @@
+"""Training runtime: jitted train step, checkpointing, resume, logging.
+
+Behavioral twin of the reference trainer
+(ref: src/monopsr/core/trainer.py:19-212): global-norm clip 1.0, Adam
+with staircase exponential decay, EMA weights, checkpoint every
+`checkpoint_interval`, automatic resume from the latest checkpoint
+unless `overwrite_checkpoints`, loss summaries every `summary_interval`.
+
+TPU-first differences: the whole step (GT crops + fwd + bwd + update)
+is one jitted XLA program; the image batch axis shards over a 'data'
+mesh; checkpoints are Orbax; summaries go to a JSONL scalar log.
+"""
+
+import json
+import os
+import time
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from monopsr_tpu import constants as C
+from monopsr_tpu.datasets.kitti import kitti_dataset as kd
+from monopsr_tpu.models import monopsr
+from monopsr_tpu.parallel import mesh as mesh_lib
+from monopsr_tpu.train import optimizer as opt_lib
+from monopsr_tpu.train.train_state import TrainState
+from monopsr_tpu.utils import transfer
+
+# Batch keys shipped to the device for training
+DEVICE_KEYS = (
+    'image',
+    C.SAMPLE_LABEL_BOXES_2D, C.SAMPLE_LABEL_BOXES_2D_NORM,
+    C.SAMPLE_LABEL_BOXES_3D,
+    C.SAMPLE_VIEWING_ANGLES_2D, C.SAMPLE_VIEWING_ANGLES_3D,
+    C.SAMPLE_LABEL_CLASS_INDICES, C.SAMPLE_MEAN_LWH,
+    C.SAMPLE_PROP_CEN_Z_OFFSET, kd.SAMPLE_CEN_Y_OFFSETS,
+    C.SAMPLE_CAM_P, C.SAMPLE_DEPTH_MAP,
+    kd.SAMPLE_INSTANCE_IMAGE, kd.SAMPLE_INSTANCE_INDICES,
+    C.SAMPLE_ALPHAS, C.SAMPLE_ALPHA_BINS, C.SAMPLE_ALPHA_REGS,
+    C.SAMPLE_ALPHA_VALID_BINS,
+)
+
+
+def prepare_sample(sample_dict, image_input_shape):
+    """Host-side collation: resize the image, keep device keys only.
+
+    The reference resizes after mean subtraction in-graph
+    (ref: img_preprocessor.py:12-35); resize and mean-sub commute for a
+    linear resampler, so the resize runs here on the host and the mean
+    subtraction stays fused on device.
+    """
+    out = {}
+    image = sample_dict[C.SAMPLE_IMAGE_INPUT]
+    resized = cv2.resize(
+        np.asarray(image, np.float32),
+        (image_input_shape[1], image_input_shape[0]),
+        interpolation=cv2.INTER_LINEAR)
+    out['image'] = resized
+    for key in DEVICE_KEYS:
+        if key == 'image':
+            continue
+        if key in sample_dict:   # test mode carries no GT keys
+            out[key] = np.asarray(sample_dict[key])
+    return out
+
+
+def stack_samples(samples):
+    """Stacks per-sample dicts into arrays with a leading batch axis."""
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def make_train_step(net, cfg, loss_config, tx, use_ema, ema_decay):
+    """Builds the jitted train step over a stacked sample batch."""
+
+    def per_sample_loss(params, batch_stats, sample):
+        variables = {'params': params, 'batch_stats': batch_stats}
+        outputs, mutated = net.apply(
+            variables, **monopsr.net_inputs_from_batch(sample),
+            train=True, mutable=['batch_stats'])
+        gt = monopsr.build_gt_dict(cfg, sample, outputs)
+        outputs, gt = monopsr.add_global_outputs(cfg, sample, outputs, gt)
+        losses, total = monopsr.compute_losses(
+            cfg, loss_config, outputs, gt)
+        return total, (losses, mutated['batch_stats'])
+
+    def train_step(state, batch):
+        def loss_fn(params):
+            totals, (losses, stats) = jax.vmap(
+                lambda s: per_sample_loss(params, state.batch_stats, s)
+            )(batch)
+            total = jnp.mean(totals)
+            return total, (jax.tree.map(jnp.mean, losses),
+                           jax.tree.map(lambda x: jnp.mean(x, 0), stats))
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(
+            grads, tx, new_batch_stats=new_stats,
+            ema_decay=ema_decay if use_ema else None)
+        return new_state, losses
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+class ScalarLogger:
+    """JSONL scalar sink (the TensorBoard-summaries equivalent)."""
+
+    def __init__(self, logdir, filename='train_log.jsonl'):
+        os.makedirs(logdir, exist_ok=True)
+        self.path = os.path.join(logdir, filename)
+
+    def log(self, step, scalars):
+        record = {'step': int(step)}
+        record.update({k: float(v) for k, v in scalars.items()})
+        with open(self.path, 'a') as f:
+            f.write(json.dumps(record) + '\n')
+
+
+def create_checkpoint_manager(checkpoint_dir, max_to_keep=10000):
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=max_to_keep, create=True)
+    return ocp.CheckpointManager(os.path.abspath(checkpoint_dir),
+                                 options=options)
+
+
+def save_checkpoint(manager, state, step):
+    # Packed transfer: per-leaf device_get costs ~0.4s/array through the
+    # remote-TPU transport (see utils.transfer).
+    manager.save(int(step), args=ocp.args.StandardSave(
+        transfer.device_get_packed(state)))
+
+
+def restore_latest(manager, template_state):
+    """Restores the latest checkpoint into the template's structure,
+    or returns the template if none exists."""
+    latest = manager.latest_step()
+    if latest is None:
+        return template_state, 0
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+        template_state)
+    restored = manager.restore(
+        latest, args=ocp.args.StandardRestore(abstract))
+    return restored, latest
+
+
+def train(config, dataset, max_steps=None, log_every=None):
+    """Full training loop driven by a parsed YAML config.
+
+    Args:
+        config: parsed experiment config (config.parse_yaml_config).
+        dataset: KittiDataset in 'train' mode.
+        max_steps: optional override of train_config.max_iterations.
+        log_every: optional override of summary_interval.
+
+    Returns:
+        final TrainState.
+    """
+    train_config = config.train_config
+    model_config = config.model_config
+    dataset_config = config.dataset_config
+
+    net, cfg = monopsr.create_net(model_config, dataset_config)
+    loss_config = model_config.loss_config.to_dict()
+
+    tx, schedule, use_ema, ema_decay = opt_lib.build_optimizer(
+        train_config, clip_gradient_norm=1.0)
+
+    data_parallel = int(train_config.get('data_parallel', 1) or 1)
+    mesh = mesh_lib.create_mesh(min(data_parallel, len(jax.devices())))
+
+    # Init (one sample through the net). jit'd: eager init dispatches
+    # each op separately, which is pathologically slow through the
+    # remote-TPU tunnel.
+    rng = jax.random.PRNGKey(0)
+    sample = _first_valid_sample(dataset, cfg)
+    variables = jax.jit(
+        lambda s: net.init(rng, **monopsr.net_inputs_from_batch(s),
+                           train=False))(sample)
+    # jit'd: eager optimizer-state init dispatches per-param
+    state = jax.jit(
+        lambda v: TrainState.create(v, tx, use_ema=use_ema))(variables)
+
+    # Pretrained backbone weights (NPZ remap loader)
+    from monopsr_tpu.train import pretrained
+    state = pretrained.maybe_load_pretrained(state, model_config)
+
+    manager = create_checkpoint_manager(
+        config.checkpoint_dir,
+        max_to_keep=train_config.max_checkpoints_to_keep)
+    if not train_config.get('overwrite_checkpoints', False):
+        state, start_step = restore_latest(manager, state)
+    else:
+        start_step = 0
+
+    state = mesh_lib.replicate(mesh, state)
+
+    train_step = make_train_step(net, cfg, loss_config, tx,
+                                 use_ema, ema_decay)
+    logger = ScalarLogger(config.logdir)
+
+    max_iterations = max_steps or train_config.max_iterations
+    summary_interval = log_every or train_config.summary_interval
+    checkpoint_interval = train_config.checkpoint_interval
+    batch_size = mesh.devices.size
+
+    last_time = time.time()
+    step = start_step
+    while step < max_iterations:
+        samples = []
+        while len(samples) < batch_size:
+            for s in dataset.next_batch(batch_size - len(samples),
+                                        shuffle=True):
+                if s is not None:
+                    samples.append(prepare_sample(
+                        s, cfg.image_input_shape))
+        batch = mesh_lib.shard_batch(mesh, stack_samples(samples))
+
+        state, losses = train_step(state, batch)
+        step += 1
+
+        if step % summary_interval == 0:
+            losses = transfer.device_get_packed(losses)
+            losses['learning_rate'] = float(schedule(step))
+            losses['steps_per_sec'] = (
+                summary_interval / (time.time() - last_time))
+            last_time = time.time()
+            logger.log(step, losses)
+            print('step {:6d}  total {:.4f}  {:.2f} steps/s'.format(
+                step, float(losses['total_loss']),
+                losses['steps_per_sec']))
+
+        if step % checkpoint_interval == 0 or step == max_iterations:
+            save_checkpoint(manager, state, step)
+
+    manager.wait_until_finished()
+    return state
+
+
+def _first_valid_sample(dataset, cfg):
+    """Fetches one valid sample for parameter initialization."""
+    for _ in range(dataset.num_samples + 1):
+        batch = dataset.next_batch(1, shuffle=False)
+        if batch and batch[0] is not None:
+            return prepare_sample(batch[0], cfg.image_input_shape)
+    raise RuntimeError('Dataset produced no valid samples')

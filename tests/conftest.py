@@ -9,11 +9,10 @@ import sys
 
 # Must be set before the jax backend initializes. Note: the axon TPU
 # plugin ignores JAX_PLATFORMS, so the config update below is required.
+# The virtual multi-device mesh is exercised separately (the
+# __graft_entry__.dryrun_multichip subprocess) because splitting the
+# single CI core into 8 virtual devices slows every test ~7x.
 os.environ['JAX_PLATFORMS'] = 'cpu'
-_flags = os.environ.get('XLA_FLAGS', '')
-if '--xla_force_host_platform_device_count' not in _flags:
-    os.environ['XLA_FLAGS'] = (
-        _flags + ' --xla_force_host_platform_device_count=8').strip()
 
 import jax  # noqa: E402
 
