@@ -21,16 +21,16 @@ FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def make_config(tmp_path, max_iterations=3):
-    dataset_config = make_dataset_config(num_boxes=4)
+    dataset_config = make_dataset_config(num_boxes=2)
     model_config = ConfigObj({
         'model_type': 'monopsr',
-        'image_input_shape': [64, 192],
+        'image_input_shape': [48, 160],
         'mean_sub_type': 'kitti',
         'inst_crop_type': 'depth_map',
-        'img_roi_size': [24, 24],
-        'map_roi_size': [24, 24],
+        'img_roi_size': [16, 16],
+        'map_roi_size': [16, 16],
         'centroid_type': 'middle',
-        'resized_full_img_shape': [32, 96],
+        'resized_full_img_shape': [24, 80],
         'net_type': 'resnet101_4x_squash',
         'net_config': {'resnet101_4x_squash': {
             'first_stage_features_stride': 16,
@@ -107,7 +107,15 @@ def make_config(tmp_path, max_iterations=3):
     return config
 
 
-def test_train_few_steps_and_resume(tmp_path):
+def test_train_resume_and_evaluate(tmp_path):
+    """One flow: train -> resume -> evaluate the checkpoint.
+
+    Covers the trainer loop, checkpoint/resume, the evaluator epoch,
+    prediction dumps, KITTI-format conversion, metrics CSVs, and the
+    evaluated-checkpoint ledger in a single compile-heavy session
+    (the CI host has one CPU core; recompiling per test is the cost).
+    """
+    from monopsr_tpu.eval.evaluator import Evaluator
     from monopsr_tpu.train import trainer
 
     config = make_config(tmp_path, max_iterations=2)
@@ -129,3 +137,48 @@ def test_train_few_steps_and_resume(tmp_path):
     config2 = make_config(tmp_path, max_iterations=3)
     state2 = trainer.train(config2, dataset2)
     assert int(jax.device_get(state2.step)) == 3
+
+    # --- Evaluate the trained checkpoint on the val split ---
+    from monopsr_tpu import constants as C
+
+    val_config = make_config(tmp_path, max_iterations=3)
+    val_config.dataset_config.data_split = 'val'
+    val_dataset = KittiDataset(val_config.dataset_config, 'val')
+
+    evaluator = Evaluator(val_config, val_dataset, eval_mode='val',
+                          do_kitti_native_eval=False)
+    results = evaluator.run_latest_checkpoints([3])
+
+    assert results
+    result = results[-1]
+    assert result['num_samples'] >= 1
+    assert np.isfinite(result['losses']['total_loss'])
+    assert C.METRIC_CHAMFER in result['metrics']
+
+    step = result['step']
+    box_3d_dir = os.path.join(val_config.pred_dir, 'box_3d', 'val',
+                              str(step))
+    files = os.listdir(box_3d_dir)
+    assert files
+    rows = np.loadtxt(os.path.join(box_3d_dir, files[0])).reshape(-1, 9)
+    assert rows.shape[1] == 9
+
+    kitti_dir = os.path.join(
+        val_config.pred_dir, 'kitti_predictions_3d', 'val', '0.1',
+        str(step), 'data')
+    kitti_files = [f for f in os.listdir(kitti_dir)
+                   if os.path.getsize(os.path.join(kitti_dir, f)) > 0]
+    assert kitti_files
+    with open(os.path.join(kitti_dir, kitti_files[0]), 'rb') as f:
+        content = f.read()
+    assert b'\r\n' in content
+    first = content.decode().split('\r\n')[0].split()
+    assert len(first) == 16
+    assert first[0] == 'Car'
+
+    metrics_dir = os.path.join(val_config.exp_output_dir, 'metrics',
+                               str(step), 'val')
+    assert os.path.exists(os.path.join(metrics_dir, 'metrics_avg.csv'))
+
+    evaluator._mark_evaluated(step)
+    assert step in evaluator.get_evaluated_ckpts()
