@@ -259,27 +259,32 @@ class Evaluator:
 
     def run_kitti_native_eval(self, global_step, background=True):
         """Runs the C++ AP evaluator at both IoU regimes
-        (ref: evaluator.py:528-564)."""
+        (ref: evaluator.py:528-564 forks one child per regime)."""
         if not self.compile_kitti_native_code():
             return None
 
-        script = os.path.join(self.native_eval_dir, 'run_eval.sh')
-        args = [script,
-                self.native_eval_dir,
-                self.config.config_name,
-                str(round(self.score_threshold, 3)),
-                str(int(global_step)),
-                os.path.abspath(self.config.pred_dir),
-                os.path.join(self.dataset.data_split_dir, 'label_2'),
-                self.dataset.data_split]
-        if background:
-            proc = multiprocessing.Process(
-                target=subprocess.run, args=(args,),
-                kwargs={'check': False})
-            proc.start()
-            return proc
-        subprocess.run(args, check=False)
-        return None
+        common = [self.native_eval_dir,
+                  self.config.config_name,
+                  str(round(self.score_threshold, 3)),
+                  str(int(global_step)),
+                  os.path.abspath(self.config.pred_dir),
+                  os.path.abspath(os.path.join(
+                      self.dataset.data_split_dir, 'label_2')),
+                  self.dataset.data_split]
+
+        procs = []
+        for script_name in ('run_eval.sh', 'run_eval_low_iou.sh'):
+            args = [os.path.join(self.native_eval_dir, script_name)]
+            args.extend(common)
+            if background:
+                proc = multiprocessing.Process(
+                    target=subprocess.run, args=(args,),
+                    kwargs={'check': False})
+                proc.start()
+                procs.append(proc)
+            else:
+                subprocess.run(args, check=False)
+        return procs or None
 
     # -- polling loops ------------------------------------------------------
 
