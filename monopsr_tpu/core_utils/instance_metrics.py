@@ -1,0 +1,116 @@
+"""Projection-error objectives for offline pose refinement.
+
+Behavioral twin of the reference instance metrics
+(ref: src/monopsr/core/instances/instance_metrics.py:13-420): objective
+functions over (xz_dist, cen_y[, view_ang]) that project a local
+instance point cloud through the camera and compare against the
+expected ROI pixel grid (plus RGB-similarity and mask-IoU variants),
+suitable for scipy.optimize minimizers.
+"""
+
+import numpy as np
+
+from monopsr_tpu.geometry import projection
+
+
+def np_proj_error(x, viewing_angle, inst_points_local, exp_proj_uv,
+                  valid_mask, cam_p, rotate_view=True):
+    """Mean |projected - expected| pixel error for pose parameters.
+
+    Args:
+        x: (xz_dist, cen_y) or (xz_dist, cen_y, view_ang) parameters.
+        viewing_angle: fixed viewing angle (ignored if len(x) == 3).
+        inst_points_local: (N, 3) local instance points.
+        exp_proj_uv: (2, N) expected pixel positions.
+        valid_mask: (N,) valid-point mask.
+        cam_p: (3, 4) camera projection matrix.
+        rotate_view: rotate points by the viewing angle.
+
+    Returns:
+        mean absolute uv error over valid points.
+    """
+    if len(x) == 3:
+        xz_dist, cen_y, viewing_angle = x
+    else:
+        xz_dist, cen_y = x
+
+    pred_uv, point_mask = proj_points(
+        xz_dist, cen_y, viewing_angle, inst_points_local, cam_p,
+        rotate_view)
+
+    mask = valid_mask.astype(bool) & point_mask
+    if not mask.any():
+        return 1e9
+    err = np.abs(pred_uv[:, mask] - exp_proj_uv[:, mask])
+    return float(err.mean())
+
+
+def proj_points(xz_dist, centroid_y, viewing_angle,
+                inst_points_local, cam_p, rotate_view=True):
+    """Projects local instance points at a hypothesized pose.
+
+    (ref: instance_utils.py:791-838)
+
+    Returns:
+        points_uv: (2, N) projected pixel coordinates.
+        valid_points_mask: (N,) mask of nonzero local points.
+    """
+    from monopsr_tpu.geometry import transforms
+
+    guess = np.asarray([xz_dist * np.sin(viewing_angle),
+                        centroid_y,
+                        xz_dist * np.cos(viewing_angle)])
+
+    if rotate_view:
+        rot = transforms.np_get_tr_mat(viewing_angle, (0.0, 0.0, 0.0))
+        rotated = transforms.apply_tr_mat_to_points(
+            rot, inst_points_local)
+    else:
+        rotated = np.asarray(inst_points_local)
+
+    global_points = rotated + guess
+
+    valid = np.sum(np.abs(rotated), axis=1) > 0.1
+
+    # Shift into cam0 for projection
+    x_offset = -cam_p[0, 3] / cam_p[0, 0]
+    cam0_points = (global_points + [x_offset, 0, 0]) * valid[:, None]
+
+    uv = projection.np_project_pc_to_image(cam0_points.T, cam_p) * valid
+    return uv, valid
+
+
+def scipy_refine_pose(inst_points_local, exp_proj_uv, valid_mask, cam_p,
+                      x0, viewing_angle=0.0, optimize_view_ang=False,
+                      rotate_view=True):
+    """Minimizes np_proj_error over the pose parameters (Nelder-Mead)."""
+    from scipy import optimize
+
+    x0 = np.asarray(x0, np.float64)
+    result = optimize.minimize(
+        np_proj_error, x0,
+        args=(viewing_angle, inst_points_local, exp_proj_uv, valid_mask,
+              cam_p, rotate_view),
+        method='Nelder-Mead')
+    return result.x, result.fun
+
+
+def convex_hull_mask_iou(pred_uv, valid_mask, gt_mask, image_shape):
+    """IoU between the convex hull of projected points and a GT mask.
+
+    (ref: instance_metrics.py:276+)
+    """
+    from skimage import morphology
+
+    mask = np.zeros(image_shape, bool)
+    pts = pred_uv[:, valid_mask.astype(bool)]
+    if pts.shape[1] < 3:
+        return 0.0
+    cols = np.clip(np.round(pts[0]).astype(int), 0, image_shape[1] - 1)
+    rows = np.clip(np.round(pts[1]).astype(int), 0, image_shape[0] - 1)
+    mask[rows, cols] = True
+    hull = morphology.convex_hull_image(mask)
+
+    inter = np.logical_and(hull, gt_mask).sum()
+    union = np.logical_or(hull, gt_mask).sum()
+    return float(inter) / union if union else 0.0

@@ -34,11 +34,15 @@ def two_d_iou(box, boxes):
 
 
 def _rotated_rect_corners(cx, cz, length, width, ry):
-    """(4, 2) BEV corners of a rotated rectangle (x-z plane)."""
+    """(4, 2) BEV corners of a rotated rectangle (x-z plane), CCW.
+
+    Counterclockwise order matters: the Sutherland-Hodgman clipper keeps
+    the left side of each directed clip edge.
+    """
     c, s = np.cos(ry), np.sin(ry)
     half_l, half_w = length / 2.0, width / 2.0
-    local = np.array([[half_l, half_w], [half_l, -half_w],
-                      [-half_l, -half_w], [-half_l, half_w]])
+    local = np.array([[half_l, half_w], [-half_l, half_w],
+                      [-half_l, -half_w], [half_l, -half_w]])
     rot = np.array([[c, s], [-s, c]])
     return local @ rot.T + np.array([cx, cz])
 
