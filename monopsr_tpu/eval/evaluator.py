@@ -151,7 +151,10 @@ class Evaluator:
     def run_checkpoint_once(self, state, global_step):
         """Evaluates one checkpoint over a full dataset epoch."""
         dataset = self.dataset
-        variables = state.eval_variables(use_ema=self.use_ema_weights)
+        # Restored checkpoints are host arrays; pin them on device once so
+        # every eval call doesn't re-upload the parameter tree.
+        variables = jax.device_put(
+            state.eval_variables(use_ema=self.use_ema_weights))
         output_dirs = self._output_dirs(global_step)
 
         loss_sums, loss_counts = {}, {}
