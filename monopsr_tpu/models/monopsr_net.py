@@ -230,6 +230,17 @@ class MonoPSRNet(nn.Module):
                            name='alpha')(prop_fc)
             outputs[constants.KEY_ALPHA_BINS] = ori[:, 0:nb]
             outputs[constants.KEY_ALPHA_REGS] = ori[:, nb:nb * 2]
+        elif cfg.alpha_type == 'dc_rotation':
+            # Bins + per-bin (sin, cos) residuals, L2-normalized then
+            # decoded with atan2 (ref: monopsr_output_builder.py:304-338)
+            ori = nn.Dense(nb * 3, kernel_init=_XAVIER,
+                           name='alpha')(prop_fc)
+            comps = ori[:, nb:nb * 3].reshape(-1, nb, 2)
+            comps = comps / jnp.maximum(
+                jnp.linalg.norm(comps, axis=2, keepdims=True), 1e-12)
+            outputs[constants.KEY_ALPHA_BINS] = ori[:, 0:nb]
+            outputs[constants.KEY_ALPHA_REGS] = jnp.arctan2(
+                comps[:, :, 1], comps[:, :, 0])
         elif cfg.alpha_type == 'prob':
             bins = nn.Dense(nb, kernel_init=_XAVIER, name='alpha')(prop_fc)
             softmax = nn.softmax(bins)

@@ -208,19 +208,27 @@ def train(config, dataset, max_steps=None, log_every=None):
     checkpoint_interval = train_config.checkpoint_interval
     batch_size = mesh.devices.size
 
+    from monopsr_tpu.train.input_pipeline import PrefetchingLoader
+    loader = PrefetchingLoader(
+        dataset, batch_size, cfg.image_input_shape,
+        queue_depth=int(train_config.get('prefetch_depth', 4) or 4),
+        num_threads=int(train_config.get('prefetch_threads', 2) or 2))
+
+    # Optional one-step profiler capture (train_config.profile_step: N)
+    profile_step = train_config.get('profile_step')
+
     last_time = time.time()
     step = start_step
     while step < max_iterations:
-        samples = []
-        while len(samples) < batch_size:
-            for s in dataset.next_batch(batch_size - len(samples),
-                                        shuffle=True):
-                if s is not None:
-                    samples.append(prepare_sample(
-                        s, cfg.image_input_shape))
-        batch = mesh_lib.shard_batch(mesh, stack_samples(samples))
+        batch = mesh_lib.shard_batch(mesh, loader.get_batch())
 
-        state, losses = train_step(state, batch)
+        if profile_step is not None and step + 1 == int(profile_step):
+            from monopsr_tpu.utils import profiling
+            with profiling.trace(os.path.join(config.logdir, 'profile')):
+                state, losses = train_step(state, batch)
+                jax.block_until_ready(losses)
+        else:
+            state, losses = train_step(state, batch)
         step += 1
 
         if step % summary_interval == 0:
@@ -237,6 +245,7 @@ def train(config, dataset, max_steps=None, log_every=None):
         if step % checkpoint_interval == 0 or step == max_iterations:
             save_checkpoint(manager, state, step)
 
+    loader.stop()
     manager.wait_until_finished()
     return state
 
