@@ -192,9 +192,14 @@ def inst_depth_map_local_to_global(inst_depth_map_local, global_depth,
     view_l = jnp.arctan2((box_x1 - cu) / f, 1.0)
     view_r = jnp.arctan2((box_x2 - cu) / f, 1.0)
 
-    inst_xz = jnp.reshape(global_depth, (-1,)) / jnp.cos(view_ang)
-    l_o = inst_xz / jnp.cos(view_l - view_ang)
-    r_o = inst_xz / jnp.cos(view_r - view_ang)
+    def safe_cos(a):
+        c = jnp.cos(a)
+        return jnp.where(jnp.abs(c) < 1e-3,
+                         jnp.where(c < 0, -1e-3, 1e-3), c)
+
+    inst_xz = jnp.reshape(global_depth, (-1,)) / safe_cos(view_ang)
+    l_o = inst_xz / safe_cos(view_l - view_ang)
+    r_o = inst_xz / safe_cos(view_r - view_ang)
     x_l = l_o * jnp.sin(view_l - view_ang)
     x_r = r_o * jnp.sin(view_r - view_ang)
     offset_l = x_l * jnp.sin(view_ang)

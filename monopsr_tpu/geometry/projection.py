@@ -26,12 +26,18 @@ def np_project_pc_to_image(point_cloud, cam_p):
     return pts[0:2] / pts[2]
 
 
-def project_pc_to_image_batch(point_cloud, cam_p):
+def project_pc_to_image_batch(point_cloud, cam_p, min_depth=1e-3):
     """Projects batched point clouds to image space (JAX).
+
+    The homogeneous divide uses a sign-preserving depth clamp: points at
+    z ~ 0 (invalid slots, or predictions mid-training) would otherwise
+    emit inf forward and `inf * 0 = NaN` in the backward even where the
+    caller masks them out.
 
     Args:
         point_cloud: (B, 3, N) point clouds.
         cam_p: (3, 4) camera projection matrix.
+        min_depth: minimum |z| used in the divide.
 
     Returns:
         (B, 2, N) projected [u, v] coordinates.
@@ -39,7 +45,10 @@ def project_pc_to_image_batch(point_cloud, cam_p):
     pc_padded = jnp.concatenate(
         [point_cloud, jnp.ones_like(point_cloud[:, :1])], axis=1)
     pts = jnp.einsum('ij,bjn->bin', cam_p, pc_padded)
-    return pts[:, 0:2] / pts[:, 2:3]
+    z = pts[:, 2:3]
+    z_safe = jnp.where(jnp.abs(z) < min_depth,
+                       jnp.where(z < 0, -min_depth, min_depth), z)
+    return pts[:, 0:2] / z_safe
 
 
 # ---------------------------------------------------------------------------

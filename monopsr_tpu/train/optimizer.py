@@ -61,6 +61,13 @@ def build_optimizer(train_config, clip_gradient_norm=1.0):
         if clip_gradient_norm else [opt]
     tx = optax.chain(*chain)
 
+    # Skip non-finite updates instead of poisoning the parameters; give
+    # up after many consecutive bad steps so real divergence still fails
+    # loudly (from-scratch training can hit transient degenerate
+    # geometry, e.g. near-zero predicted depths).
+    if train_config.get('skip_nonfinite_updates', True):
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=50)
+
     use_ema = bool(opt_config.get('use_moving_average', False))
     ema_decay = float(opt_config.get('moving_average_decay', 0.9999))
     return tx, schedule, use_ema, ema_decay
