@@ -69,7 +69,7 @@ def _nn_direction_xla(xyz_a, xyz_b, chunk=512):
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
 
-_TILE_N = 256      # x rows per inner step
+_TILE_N = 256      # x columns per inner step
 _BATCH_BLOCK = 8   # batch rows per program (sublane-aligned output blocks)
 
 
@@ -77,17 +77,27 @@ def _make_nn_direction_kernel(n_tiles):
     def kernel(x_ref, y_ref, dist_ref, idx_ref):
         """One program: _BATCH_BLOCK batch rows, min over all of y.
 
-        x_ref: (BB, Np, 3), y_ref: (BB, M, 3) VMEM;
+        Layout note: point clouds arrive transposed as (BB, 3, N) so the
+        point axis sits on the 128-lane dimension; an (N, 3) block would
+        be lane-padded 3 -> 128 (43x VMEM waste, ~18MB > the 16MB limit
+        at production shapes).
+
+        x_ref: (BB, 3, Np), y_ref: (BB, 3, M) VMEM;
         dist_ref/idx_ref: (BB, Np) outputs. The (batch, x-tile) space is
         walked with an inner loop so the live distance tile stays at
-        (TILE_N, M) in VMEM.
+        (TILE_N, M).
         """
         def body(step, _):
             bi = step // n_tiles
             ti = step % n_tiles
-            x = x_ref[bi, pl.ds(ti * _TILE_N, _TILE_N), :]
-            y = y_ref[bi]
-            d = _pairwise_sq_dists(x, y)            # (TILE_N, M)
+            x = x_ref[bi, :, pl.ds(ti * _TILE_N, _TILE_N)]   # (3, T)
+            y = y_ref[bi]                                     # (3, M)
+            x2 = jnp.sum(x * x, axis=0)[:, None]              # (T, 1)
+            y2 = jnp.sum(y * y, axis=0)[None, :]              # (1, M)
+            xy = jax.lax.dot_general(
+                x, y, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (T, M)
+            d = x2 + y2 - 2.0 * xy
             dist_ref[bi, pl.ds(ti * _TILE_N, _TILE_N)] = jnp.min(d, axis=-1)
             idx_ref[bi, pl.ds(ti * _TILE_N, _TILE_N)] = (
                 jnp.argmin(d, axis=-1).astype(jnp.int32))
@@ -110,14 +120,18 @@ def _nn_direction_pallas(xyz_a, xyz_b):
     bp, np_, _ = xyz_a.shape
     n_tiles = np_ // _TILE_N
 
+    # Lane-friendly layout: (B, 3, N)
+    xa_t = jnp.transpose(xyz_a, (0, 2, 1))
+    xb_t = jnp.transpose(xyz_b, (0, 2, 1))
+
     grid = (bp // _BATCH_BLOCK,)
     dist, idx = pl.pallas_call(
         _make_nn_direction_kernel(n_tiles),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_BATCH_BLOCK, np_, 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((_BATCH_BLOCK, 3, np_), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BATCH_BLOCK, m, 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((_BATCH_BLOCK, 3, m), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -134,7 +148,7 @@ def _nn_direction_pallas(xyz_a, xyz_b):
             flops=2 * bp * np_ * m * 4,
             bytes_accessed=bp * (np_ + m) * 3 * 4 + bp * np_ * 8,
             transcendentals=0),
-    )(xyz_a, xyz_b)
+    )(xa_t, xb_t)
     return dist[:b, :n], idx[:b, :n]
 
 
