@@ -165,19 +165,12 @@ class Evaluator:
         dataset._index_in_epoch = 0
         dataset.epochs_completed = 0
 
-        for _ in range(dataset.num_samples):
+        def process(sample, step_out):
+            """Transfers, aggregates, formats, and saves one result."""
+            nonlocal num_evaluated
             t0 = time.time()
-            sample = dataset.next_batch(1, shuffle=False)[0]
-            if sample is None:
-                continue
-            device_sample = trainer_lib.prepare_sample(
-                sample, self.cfg.image_input_shape)
-            feed_times.append(time.time() - t0)
-
-            t0 = time.time()
-            step_out = self._eval_step(variables, device_sample)
-            # One packed transfer for everything coming off the device
-            outputs, losses, metrics = transfer.device_get_packed(step_out)
+            outputs, losses, metrics = transfer.device_get_packed(
+                step_out)
             infer_times.append(time.time() - t0)
 
             num_objs = int(sample[C.SAMPLE_NUM_OBJS])
@@ -201,6 +194,26 @@ class Evaluator:
             predictions.save_predictions(
                 pred_dict, sample[C.SAMPLE_NAME], output_dirs)
             num_evaluated += 1
+
+        # Software pipeline: dispatch sample i+1's device step before
+        # pulling/formating sample i's results, so host work overlaps
+        # device compute and the transfer latency.
+        in_flight = None
+        for _ in range(dataset.num_samples):
+            t0 = time.time()
+            sample = dataset.next_batch(1, shuffle=False)[0]
+            if sample is None:
+                continue
+            device_sample = trainer_lib.prepare_sample(
+                sample, self.cfg.image_input_shape)
+            feed_times.append(time.time() - t0)
+
+            step_out = self._eval_step(variables, device_sample)
+            if in_flight is not None:
+                process(*in_flight)
+            in_flight = (sample, step_out)
+        if in_flight is not None:
+            process(*in_flight)
 
         print('Evaluated {} samples at step {}'.format(
             num_evaluated, global_step))
