@@ -100,16 +100,20 @@ def convex_hull_mask_iou(pred_uv, valid_mask, gt_mask, image_shape):
 
     (ref: instance_metrics.py:276+)
     """
-    from skimage import morphology
+    import cv2
 
-    mask = np.zeros(image_shape, bool)
     pts = pred_uv[:, valid_mask.astype(bool)]
     if pts.shape[1] < 3:
         return 0.0
-    cols = np.clip(np.round(pts[0]).astype(int), 0, image_shape[1] - 1)
-    rows = np.clip(np.round(pts[1]).astype(int), 0, image_shape[0] - 1)
-    mask[rows, cols] = True
-    hull = morphology.convex_hull_image(mask)
+    cols = np.clip(np.round(pts[0]).astype(np.int32), 0,
+                   image_shape[1] - 1)
+    rows = np.clip(np.round(pts[1]).astype(np.int32), 0,
+                   image_shape[0] - 1)
+    points = np.stack([cols, rows], axis=1).reshape(-1, 1, 2)
+    hull_pts = cv2.convexHull(points)
+    hull_img = np.zeros(image_shape, np.uint8)
+    cv2.fillConvexPoly(hull_img, hull_pts, 1)
+    hull = hull_img.astype(bool)
 
     inter = np.logical_and(hull, gt_mask).sum()
     union = np.logical_or(hull, gt_mask).sum()

@@ -215,6 +215,16 @@ def train(config, dataset, max_steps=None, log_every=None):
         queue_depth=int(train_config.get('prefetch_depth', 4) or 4),
         num_threads=int(train_config.get('prefetch_threads', 2) or 2))
 
+    # Device memory stats once at start (the reference logs GPU memory
+    # summaries, ref: trainer.py:92-94)
+    from monopsr_tpu.utils import profiling
+    mem = profiling.device_memory_stats()
+    for dev, stats in mem.items():
+        if stats:
+            logger.log(start_step, {
+                'bytes_in_use_' + dev.replace(' ', '_'):
+                    stats.get('bytes_in_use', 0)})
+
     # Optional one-step profiler capture (train_config.profile_step: N)
     profile_step = train_config.get('profile_step')
 
