@@ -25,6 +25,8 @@ def score_boxes(dataset, sample_name, img_shape, boxes_2d, boxes_3d,
     detection; truncated projections get a 0.1 fit score
     (ref: monopsr_output_builder.py:805-860).
     """
+    # One calib read per sample (the reference re-reads it per box,
+    # ref: monopsr_output_builder.py:823)
     cam_p = calib_utils.get_frame_calib(dataset.calib_dir, sample_name).p2
 
     new_scores = np.zeros_like(valid_scores)
