@@ -17,7 +17,6 @@ reductions. The batch is processed in a lax.map ladder so only
 `batch_chunk` (N, M) matrices are live at once.
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

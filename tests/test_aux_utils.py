@@ -84,7 +84,6 @@ class TestStereoCalib:
 class TestClusterUtils:
 
     def test_car_cluster(self):
-        from monopsr_tpu.config import ConfigObj
         from monopsr_tpu.core_utils.label_cluster_utils import (
             LabelClusterUtils)
         from tests.test_dataset import make_dataset_config

@@ -6,7 +6,6 @@ the full graph shape-correctly without TPU-scale compute.
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

@@ -1,6 +1,5 @@
 """Pretrained-weight conversion + dual-tower remap loading tests."""
 
-import os
 
 import jax
 import numpy as np

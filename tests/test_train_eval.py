@@ -10,7 +10,6 @@ import os
 
 import jax
 import numpy as np
-import pytest
 
 from monopsr_tpu.config import ConfigObj
 from monopsr_tpu.datasets.kitti.kitti_dataset import KittiDataset
