@@ -149,7 +149,7 @@ class MonoPSRNet(nn.Module):
     @nn.compact
     def __call__(self, image, boxes_2d, boxes_2d_norm, view_angs,
                  class_indices, mean_lwh, prop_cen_z_offsets,
-                 cen_y_offsets, cam_p, train=False):
+                 cen_y_offsets, cam_p, train=False, gt_inputs=None):
         """
         Args:
             image: (H_in, W_in, 3) RGB image already resized to
@@ -164,6 +164,10 @@ class MonoPSRNet(nn.Module):
             cen_y_offsets: (N,) per-class cen_y trend offsets.
             cam_p: (3, 4) camera projection matrix.
             train: training mode.
+            gt_inputs: optional dict of GT arrays, required only when an
+                output type is 'gt' (debug paths; keys: 'lwh' (N, 3),
+                'alpha_bins' (N,), 'alpha_regs' (N, nb),
+                'view_angs' (N, 1), 'cen_y' (N, 1)).
 
         Returns:
             dict of outputs keyed by monopsr_tpu.constants KEY_*.
@@ -218,6 +222,9 @@ class MonoPSRNet(nn.Module):
         elif cfg.lwh_type == 'est':
             lwh_offs = mean_lwh
             pred_lwh = mean_lwh
+        elif cfg.lwh_type == 'gt':
+            pred_lwh = gt_inputs['lwh']
+            lwh_offs = pred_lwh - mean_lwh
         else:
             raise NotImplementedError('lwh type ' + cfg.lwh_type)
         outputs[constants.KEY_LWH + '_offs'] = lwh_offs
@@ -251,6 +258,11 @@ class MonoPSRNet(nn.Module):
             outputs[constants.KEY_ALPHA_BINS] = bins
             outputs[constants.KEY_ALPHA] = (
                 jnp.arctan2(comp[:, 1], comp[:, 0])[:, None])
+        elif cfg.alpha_type == 'gt':
+            # Debug passthrough: bin logits that argmax to the GT bin
+            outputs[constants.KEY_ALPHA_BINS] = jax.nn.one_hot(
+                gt_inputs['alpha_bins'], nb) * 10.0
+            outputs[constants.KEY_ALPHA_REGS] = gt_inputs['alpha_regs']
         else:
             raise NotImplementedError('alpha type ' + cfg.alpha_type)
 
@@ -262,6 +274,9 @@ class MonoPSRNet(nn.Module):
             view_ang_offs = nn.Dense(1, kernel_init=_XAVIER,
                                      name='view_ang')(prop_fc)
             pred_view_angs = view_angs_col + view_ang_offs
+        elif cfg.view_ang_type == 'gt':
+            pred_view_angs = gt_inputs['view_angs']
+            view_ang_offs = pred_view_angs - view_angs_col
         else:
             raise NotImplementedError('view_ang ' + cfg.view_ang_type)
         outputs[constants.KEY_VIEW_ANG + '_offs'] = view_ang_offs
@@ -296,6 +311,9 @@ class MonoPSRNet(nn.Module):
         elif cfg.cen_y_type == 'est':
             cen_y_offs = jnp.zeros_like(prop_cen_y)
             pred_cen_y = prop_cen_y
+        elif cfg.cen_y_type == 'gt':
+            pred_cen_y = gt_inputs['cen_y']
+            cen_y_offs = pred_cen_y - prop_cen_y
         else:
             raise NotImplementedError('cen_y ' + cfg.cen_y_type)
         outputs[constants.KEY_CEN_Y + '_offs'] = cen_y_offs
