@@ -188,8 +188,7 @@ class Evaluator:
                 metric_values.setdefault(name, []).append(arr.ravel())
 
             pred_dict = predictions.format_predictions(
-                self.cfg, outputs, sample, dataset,
-                self.eval_mode if self.eval_mode != 'val' else 'val',
+                self.cfg, outputs, sample, dataset, self.eval_mode,
                 post_process_cen_x=self.post_process_cen_x)
             predictions.save_predictions(
                 pred_dict, sample[C.SAMPLE_NAME], output_dirs)
