@@ -58,6 +58,9 @@ class Evaluator:
         self.loss_config = model_config.loss_config.to_dict()
         self.post_process_cen_x = bool(
             model_config.get('post_process_cen_x', True))
+        self.metrics_to_show = [
+            tuple(entry) for entry in
+            (model_config.get('metrics_to_show') or [])]
         self.score_threshold = float(
             config.train_config.get('kitti_score_threshold', 0.1))
 
@@ -238,6 +241,27 @@ class Evaluator:
                 name: float(np.mean(v[np.isfinite(v)]))
                 if np.isfinite(v).any() else float('nan')
                 for name, v in metrics_flat.items()}
+
+            # Print the configured subset (the reference mirrors
+            # metrics_to_show to TensorBoard, ref: evaluator_utils.py:294+)
+            for name, stat in self.metrics_to_show:
+                values = metrics_flat.get(name)
+                if values is None:
+                    continue
+                values = values[np.isfinite(values)]
+                if not len(values):
+                    continue
+                if stat == 'avg':
+                    value = float(np.mean(values))
+                elif stat == 'std':
+                    value = float(np.std(values))
+                elif stat == 'avg_abs':
+                    value = float(np.mean(np.abs(values)))
+                elif stat == 'std_abs':
+                    value = float(np.std(np.abs(values)))
+                else:
+                    continue
+                print('  {} ({}): {:.4f}'.format(name, stat, value))
 
         # Write eval scalar log
         log_path = os.path.join(self.config.logdir,
