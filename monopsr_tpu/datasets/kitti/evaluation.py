@@ -152,3 +152,108 @@ def average_precision(recalls, precisions):
         precisions[i] = max(precisions[i], precisions[i + 1])
     idx = np.nonzero(recalls[1:] != recalls[:-1])[0]
     return np.sum((recalls[idx + 1] - recalls[idx]) * precisions[idx + 1])
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level PR curves (ref: src/monopsr/core/evaluation.py:285-500).
+#
+# Matching protocol: per frame, each detection above the score threshold
+# greedily claims the GT box of maximum IoU; a claim below the IoU
+# threshold or on an already-claimed GT counts as a false positive.
+# Detections are visited in input order (NOT score-sorted) — identical to
+# the reference. One shared matcher serves both the 2D and 3D variants;
+# the reference duplicates the loop.
+# ---------------------------------------------------------------------------
+
+def _pr_curve(gt_boxes, detection_boxes, scores, score_thresholds,
+              iou_threshold, iou_fn, valid_fn=None):
+    assert len(gt_boxes) == len(detection_boxes) == len(scores)
+    score_thresholds = np.asarray(score_thresholds, np.float64)
+
+    precision = np.zeros(score_thresholds.shape)
+    recall = np.zeros(score_thresholds.shape)
+
+    for t_idx, threshold in enumerate(score_thresholds):
+        total_tp = 0.0
+        total_fp = 0.0
+        recall_denom = 0.0
+
+        for gt, dets, det_scores in zip(gt_boxes, detection_boxes, scores):
+            gt = np.asarray(gt, np.float64)
+            dets = np.asarray(dets, np.float64)
+            det_scores = np.asarray(det_scores, np.float64).reshape(-1)
+            dets = dets[det_scores > threshold]
+
+            if len(gt) == 0:
+                total_fp += len(dets)
+                continue
+            recall_denom += len(gt)
+
+            claimed = np.zeros(len(gt), bool)
+            for box in dets:
+                if valid_fn is not None and not valid_fn(box):
+                    continue
+                ious = np.atleast_1d(iou_fn(box, gt))
+                best = int(np.argmax(ious))
+                if ious[best] > iou_threshold and not claimed[best]:
+                    claimed[best] = True
+                    total_tp += 1
+                else:
+                    total_fp += 1
+
+        precision[t_idx] = total_tp / max(total_tp + total_fp, 1e-12)
+        recall[t_idx] = total_tp / max(recall_denom, 1e-12)
+
+    return precision, recall
+
+
+def evaluate_2d(gt_boxes, detection_boxes, scores,
+                score_thresholds=np.array([0.5]), iou_threshold=0.5):
+    """Dataset-level 2D PR curve (ref: core/evaluation.py:285-375).
+
+    Args:
+        gt_boxes: per-frame list of (G, 4) [x1, y1, x2, y2] arrays.
+        detection_boxes: per-frame list of (D, 4) arrays.
+        scores: per-frame list of (D,) score arrays.
+        score_thresholds: thresholds at which precision/recall are sampled.
+        iou_threshold: minimum 2D IoU for a true positive.
+
+    Returns:
+        (precision_array, recall_array), each shaped like score_thresholds.
+    """
+    return _pr_curve(gt_boxes, detection_boxes, scores, score_thresholds,
+                     iou_threshold, two_d_iou)
+
+
+def evaluate_3d(gt_boxes, detection_boxes, scores,
+                score_thresholds=np.array([0.5]), iou_threshold=0.25):
+    """Dataset-level 3D PR curve (ref: core/evaluation.py:378-473).
+
+    Boxes are [ry, l, h, w, tx, ty, tz]; detections with tx < -999 are
+    treated as invalid slots and skipped (the reference's empty-box flag).
+    """
+    return _pr_curve(gt_boxes, detection_boxes, scores, score_thresholds,
+                     iou_threshold, three_d_iou,
+                     valid_fn=lambda box: box[4] >= -999)
+
+
+def average_precision_computation(recall_array, precision_array,
+                                  use_07_metric=True):
+    """AP from sampled PR points (ref: core/evaluation.py:477-525).
+
+    use_07_metric=True: PASCAL VOC 11-point metric (max precision at
+    recall >= t for t in 0, 0.1, ..., 1.0, averaged). Otherwise exact
+    area under the monotonized PR curve.
+    """
+    recall_array = np.asarray(recall_array, np.float64)
+    precision_array = np.asarray(precision_array, np.float64)
+
+    if use_07_metric:
+        ap = 0.0
+        for t in np.arange(0.0, 1.1, 0.1):
+            mask = recall_array >= t
+            p = np.max(precision_array[mask]) if mask.any() else 0.0
+            ap += p / 11.0
+        return ap
+    return average_precision(np.sort(recall_array),
+                             precision_array[np.argsort(recall_array)])

@@ -383,11 +383,15 @@ static vector<double> get_thresholds(vector<double> scores, double n_gt) {
   for (size_t i = 0; i < scores.size(); i++) {
     double l_recall = (i + 1) / n_gt;
     double r_recall = (i < scores.size() - 1) ? (i + 2) / n_gt : l_recall;
-    // Take this score only if the left recall is the closer sample
-    if ((r_recall - current_recall) < (current_recall - l_recall))
+    // Take this score only if the left recall is the closer sample; the
+    // last TP score is always taken. current_recall advances on the fixed
+    // 1/40 grid (NOT from l_recall) — protocol parity with the KITTI
+    // devkit threshold selection.
+    if (i < scores.size() - 1 &&
+        (r_recall - current_recall) < (current_recall - l_recall))
       continue;
     t.push_back(scores[i]);
-    current_recall = l_recall + 1.0 / (N_SAMPLE_PTS - 1.0);
+    current_recall += 1.0 / (N_SAMPLE_PTS - 1.0);
   }
   return t;
 }
