@@ -1,18 +1,27 @@
 """Benchmark: MonoPSR inference frames/sec on one TPU chip.
 
-Measures the steady-state per-frame latency of the flagship model's
-jitted forward (full ResNet-101 dual towers at production shapes:
-32 proposal slots, 320x1216 input image) including host->device input
-transfer, and prints ONE JSON line.
+Two measurements at production shapes (full ResNet-101 dual towers,
+32 proposal slots, 320x1216 input):
 
+- forward_fps: steady-state jitted forward latency including
+  host->device input transfer (device-side ceiling).
+- e2e_fps: the pipeline a user actually runs per frame — dataset
+  assembly (KITTI IO + MSCNN merge), prepare_sample, the jitted step,
+  format_predictions (re-scoring + cen_x post-processing), and the
+  prediction writers — measured over the mini-KITTI fixture with the
+  same software pipelining the evaluator uses
+  (ref: src/monopsr/core/evaluator.py:205-311 times this split).
+
+The headline value is e2e_fps (the honest deliverable number).
 Baseline: the reference reports ~0.2 s/frame on a desktop GPU
-(arXiv:1904.01690; see BASELINE.md), i.e. 5 fps. vs_baseline is the
-speedup over that 5 fps.
+(arXiv:1904.01690; see BASELINE.md), i.e. 5 fps.
 """
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -21,11 +30,17 @@ import jax
 import numpy as np
 
 import __graft_entry__ as graft
+from monopsr_tpu.utils import compile_cache
+
+compile_cache.enable()
 
 BASELINE_FPS = 5.0  # reference: ~0.2 s/frame on GPU (BASELINE.md)
+REPO = os.path.dirname(os.path.abspath(__file__))
+FIXTURE = os.path.join(REPO, 'tests', 'datasets', 'Kitti', 'object')
 
 
-def main():
+def bench_forward():
+    """Jitted forward + input transfer on synthetic frames."""
     forward, (variables, sample) = graft.entry()
     fn = jax.jit(forward)
 
@@ -34,7 +49,6 @@ def main():
     frames = [graft._synthetic_sample(graft._flagship_config()[1], seed=i)
               for i in range(4)]
 
-    # Warmup / compile
     out = fn(variables, frames[0])
     jax.block_until_ready(out)
 
@@ -43,14 +57,93 @@ def main():
     for i in range(n_iters):
         out = fn(variables, frames[i % len(frames)])
     jax.block_until_ready(out)
+    return n_iters / (time.time() - start)
+
+
+def bench_e2e():
+    """Dataset -> prepare -> jitted step -> format -> writers, pipelined."""
+    from monopsr_tpu import constants as C
+    from monopsr_tpu.datasets.kitti.kitti_dataset import KittiDataset
+    from monopsr_tpu.eval import predictions
+    from monopsr_tpu.models import monopsr
+    from monopsr_tpu.train import trainer as trainer_lib
+
+    config, cfg = graft._flagship_config()
+    dataset_config = config.dataset_config
+    dataset_config.dataset_dir = FIXTURE
+    dataset_config.mscnn_dir = os.path.join(FIXTURE, 'mscnn')
+    dataset = KittiDataset(dataset_config, 'val')
+
+    net = cfg_net = monopsr.create_net(config.model_config,
+                                       dataset_config)[0]
+
+    sample0 = trainer_lib._first_valid_sample(dataset, cfg)
+    variables = jax.jit(
+        lambda s: net.init(jax.random.PRNGKey(0),
+                           **monopsr.net_inputs_from_batch(s),
+                           train=False))(sample0)
+
+    @jax.jit
+    def eval_step(variables, sample):
+        return net.apply(variables,
+                         **monopsr.net_inputs_from_batch(sample),
+                         train=False)
+
+    out_root = tempfile.mkdtemp(prefix='bench_e2e_')
+    output_dirs = {C.OUT_DIR_BOX_3D: os.path.join(out_root, 'box_3d'),
+                   C.OUT_DIR_BOX_2D: os.path.join(out_root, 'box_2d'),
+                   C.OUT_DIR_XYZ_MAP_LOCAL: os.path.join(out_root, 'xyz')}
+    for d in output_dirs.values():
+        os.makedirs(d)
+
+    def run_epochs(n_epochs):
+        """One pipelined pass: dispatch i+1 before formatting i."""
+        count = 0
+        in_flight = None
+
+        def process(sample, step_out):
+            outputs = jax.device_get(step_out)
+            pred_dict = predictions.format_predictions(
+                cfg, outputs, sample, dataset, 'val',
+                post_process_cen_x=True)
+            predictions.save_predictions(
+                pred_dict, sample[C.SAMPLE_NAME], output_dirs)
+
+        for _ in range(n_epochs * dataset.num_samples):
+            sample = dataset.next_batch(1, shuffle=False)[0]
+            if sample is None:
+                continue
+            device_sample = trainer_lib.prepare_sample(
+                sample, cfg.image_input_shape)
+            step_out = eval_step(variables, device_sample)
+            if in_flight is not None:
+                process(*in_flight)
+            in_flight = (sample, step_out)
+            count += 1
+        if in_flight is not None:
+            process(*in_flight)
+        return count
+
+    run_epochs(1)  # warmup: compile + file-cache prime
+
+    start = time.time()
+    count = run_epochs(3)
     elapsed = time.time() - start
 
-    fps = n_iters / elapsed
+    shutil.rmtree(out_root, ignore_errors=True)
+    return count / elapsed
+
+
+def main():
+    forward_fps = bench_forward()
+    e2e_fps = bench_e2e()
     result = {
         'metric': 'inference_fps_tpu_v5e',
-        'value': round(fps, 2),
+        'value': round(e2e_fps, 2),
         'unit': 'frames/sec',
-        'vs_baseline': round(fps / BASELINE_FPS, 2),
+        'vs_baseline': round(e2e_fps / BASELINE_FPS, 2),
+        'forward_fps': round(forward_fps, 2),
+        'e2e_fps': round(e2e_fps, 2),
     }
     print(json.dumps(result))
 

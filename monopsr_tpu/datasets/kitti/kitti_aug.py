@@ -1,7 +1,9 @@
-"""Data augmentation: image noise and 2D box jitter (host side).
+"""Data augmentation: horizontal flips, image noise, 2D box jitter (host).
 
 Behavioral twin of the reference augmentations
-(ref: src/monopsr/datasets/kitti/kitti_aug.py:124-254).
+(ref: src/monopsr/datasets/kitti/kitti_aug.py:12-254). The flip helpers
+(:12-122) are dormant on the reference's main training path but part of
+its capability set; they are exposed here with the same semantics.
 """
 
 import copy
@@ -9,6 +11,72 @@ import copy
 import numpy as np
 
 from monopsr_tpu.datasets.kitti import evaluation
+
+
+# ---------------------------------------------------------------------------
+# Horizontal flips (ref: kitti_aug.py:12-122)
+# ---------------------------------------------------------------------------
+
+def flip_image(image):
+    """Flips an (H, W, C) image horizontally."""
+    return np.fliplr(image)
+
+
+def flip_points(points):
+    """Flips (N, 3) points about the x = 0 plane."""
+    flipped = np.copy(points)
+    flipped[:, 0] = -points[:, 0]
+    return flipped
+
+
+def flip_point_cloud(point_cloud):
+    """Flips a (3, N) point cloud about the x = 0 plane."""
+    flipped = np.copy(point_cloud)
+    flipped[0] = -point_cloud[0]
+    return flipped
+
+
+def _flip_ry(ry):
+    """Mirrors a y-rotation: ry >= 0 -> pi - ry, else -pi - ry."""
+    return np.where(np.asarray(ry) >= 0, np.pi - np.asarray(ry),
+                    -np.pi - np.asarray(ry))
+
+
+def flip_label_in_3d_only(obj_label):
+    """Flips an ObjectLabel's 3D pose; the 2D box is left untouched
+    (the reference skips it as unused, ref: kitti_aug.py:34-57)."""
+    flipped = copy.deepcopy(obj_label)
+    flipped.ry = float(_flip_ry(obj_label.ry))
+    flipped.t = (-obj_label.t[0], obj_label.t[1], obj_label.t[2])
+    return flipped
+
+
+def flip_boxes_3d(boxes_3d, flip_ry=True):
+    """Flips (N, 7) [x y z l w h ry] boxes about x = 0."""
+    boxes_3d = np.asarray(boxes_3d)
+    flipped = np.copy(boxes_3d)
+    if flip_ry:
+        flipped[:, 6] = _flip_ry(boxes_3d[:, 6])
+    flipped[:, 0] = -boxes_3d[:, 0]
+    return flipped
+
+
+def flip_ground_plane(ground_plane):
+    """Flips ax + by + cz + d = 0 by negating the x coefficient."""
+    flipped = np.copy(ground_plane)
+    flipped[0] = -ground_plane[0]
+    return flipped
+
+
+def flip_stereo_calib_p2(calib_p2, image_shape):
+    """Flips a 3x4 stereo P2 so projection matches the flipped image:
+    the principal point mirrors about the image width and the baseline
+    translation negates (ref: kitti_aug.py:103-122). Satisfies
+    u_flipped = W - u for any point and its x-mirrored twin."""
+    flipped = np.copy(calib_p2)
+    flipped[0, 2] = image_shape[1] - calib_p2[0, 2]
+    flipped[0, 3] = -calib_p2[0, 3]
+    return flipped
 
 
 def apply_image_noise(image_rgb, rng=None):

@@ -115,7 +115,13 @@ class KittiDataset:
         self.depth_pad_shape = tuple(
             dataset_config.get('depth_pad_shape') or DEPTH_PAD_SHAPE)
 
-        self._rng = np.random
+        # Seeded per-dataset RNG: drives shuffle, oversample, and the
+        # augmentation draws (all consumed under the loader's dataset
+        # lock, so a fixed dataset_config.seed reproduces the sample
+        # stream; the reference uses the global unseeded np.random).
+        seed = dataset_config.get('seed')
+        self._rng = np.random.RandomState(
+            None if seed is None else int(seed))
 
         # Batch pointers
         self._index_in_epoch = 0
@@ -292,7 +298,8 @@ class KittiDataset:
                 # Augmentation (train only)
                 if self.train_val_test == 'train':
                     if self.aug_config.use_image_aug:
-                        image_input = kitti_aug.apply_image_noise(rgb_image)
+                        image_input = kitti_aug.apply_image_noise(
+                            rgb_image, rng=self._rng)
 
                     box_jitter_type = self.aug_config.box_jitter_type
                     if box_jitter_type is None:
@@ -303,7 +310,8 @@ class KittiDataset:
                                 'Must oversample to use jitter type '
                                 + box_jitter_type)
                         obj_labels[num_objs:] = kitti_aug.jitter_obj_boxes_2d(
-                            obj_labels[num_objs:], 0.7, image_shape)
+                            obj_labels[num_objs:], 0.7, image_shape,
+                            rng=self._rng)
                     elif box_jitter_type == 'oversample_gt':
                         if not self.oversample:
                             raise ValueError(
@@ -313,14 +321,15 @@ class KittiDataset:
                         gt_pick = self._rng.choice(
                             num_kitti_objs, n_extra, replace=True)
                         obj_labels[num_objs:] = kitti_aug.jitter_obj_boxes_2d(
-                            kitti_obj_labels[gt_pick], 0.7, image_shape)
+                            kitti_obj_labels[gt_pick], 0.7, image_shape,
+                            rng=self._rng)
                         # Jittered GT boxes keep their own instance channels
                         kitti_orig = np.nonzero(obj_mask)[0]
                         if len(kitti_orig) >= num_kitti_objs:
                             orig_indices[num_objs:] = kitti_orig[gt_pick]
                     elif box_jitter_type == 'all':
                         obj_labels = kitti_aug.jitter_obj_boxes_2d(
-                            obj_labels, 0.7, image_shape)
+                            obj_labels, 0.7, image_shape, rng=self._rng)
                     else:
                         raise ValueError(
                             'Invalid box_jitter_type: ' + str(box_jitter_type))

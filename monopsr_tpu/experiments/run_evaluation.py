@@ -30,6 +30,9 @@ def evaluate(config, data_split='val', repeated=True,
 
 
 def main():
+    from monopsr_tpu.utils import compile_cache
+    compile_cache.enable()
+
     parser = argparse.ArgumentParser()
     default_config = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(

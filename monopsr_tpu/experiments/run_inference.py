@@ -35,6 +35,9 @@ def inference(config, data_split, ckpt_indices='all'):
 
 
 def main():
+    from monopsr_tpu.utils import compile_cache
+    compile_cache.enable()
+
     parser = argparse.ArgumentParser()
     default_config = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(

@@ -27,6 +27,9 @@ def train(config, data_split=None):
 
 
 def main():
+    from monopsr_tpu.utils import compile_cache
+    compile_cache.enable()
+
     parser = argparse.ArgumentParser()
     default_config = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(

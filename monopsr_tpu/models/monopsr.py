@@ -149,6 +149,19 @@ def add_global_outputs(cfg: NetConfig, batch, outputs, gt):
     gt[C.KEY_INST_DEPTH_MAP_GLOBAL] = (
         gt[C.KEY_INST_XYZ_MAP_GLOBAL][:, :, :, 2:3])
 
+    # xyz-from-depth variant: backproject the predicted global depth map
+    # over the box ROI pixel grid (ref: monopsr_output_builder.py:774-802;
+    # the reference builds it per box with tf_depth_patch_to_pc_map, here
+    # it is one batched op). GT is the global instance xyz crop.
+    if cfg.xyz_from_depth:
+        from monopsr_tpu.geometry import projection
+        depth_global = outputs[C.KEY_INST_DEPTH_MAP_GLOBAL][:, :, :, 0]
+        outputs[C.KEY_INST_XYZ_MAP_GLOBAL_FROM_DEPTH] = (
+            projection.depth_patch_to_pc_map_batch(
+                depth_global, boxes_2d, cam_p, cfg.map_roi_size))
+        gt[C.KEY_INST_XYZ_MAP_GLOBAL_FROM_DEPTH] = (
+            gt[C.KEY_INST_XYZ_MAP_GLOBAL])
+
     return outputs, gt
 
 
@@ -262,6 +275,19 @@ def compute_losses(cfg: NetConfig, loss_config, outputs, gt):
             gt[C.KEY_VALID_MASK_MAPS]) / num_boxes
         losses[C.KEY_INST_DEPTH_MAP_GLOBAL] = depth_loss
         total += depth_loss
+
+    # xyz-from-depth global maps (ref: monopsr_model.py:927-955). The
+    # reference accidentally masks with the GT xyz map itself
+    # (monopsr_model.py:935 reuses the xyz-map dict entry as the mask);
+    # the valid-mask maps are the intended mask and are used here.
+    if C.KEY_INST_XYZ_MAP_GLOBAL_FROM_DEPTH in outputs:
+        from_depth_loss = loss_lib.apply_loss(
+            loss_config[C.KEY_INST_XYZ_MAP_GLOBAL_FROM_DEPTH],
+            outputs[C.KEY_INST_XYZ_MAP_GLOBAL_FROM_DEPTH],
+            gt[C.KEY_INST_XYZ_MAP_GLOBAL_FROM_DEPTH],
+            gt[C.KEY_VALID_MASK_MAPS]) / num_boxes
+        losses[C.KEY_INST_XYZ_MAP_GLOBAL_FROM_DEPTH] = from_depth_loss
+        total += from_depth_loss
 
     losses['total_loss'] = total
     return losses, total

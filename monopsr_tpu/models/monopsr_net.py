@@ -57,6 +57,18 @@ class NetConfig:
     cen_z_type: str = 'offset'
     rotate_view: bool = True
     centroid_type: str = 'middle'
+    # xyz-from-depth head variant: backproject the predicted global depth
+    # map through cam_p over the box ROI grid into a global xyz map
+    # (ref: monopsr_output_builder.py:774-802, loss monopsr_model.py:927-955)
+    xyz_from_depth: bool = False
+    # Normalization of the appended prop_cen_y/z estimates in the
+    # regression trunk: 'constant' = /1.666754 and /max_depth (the
+    # reference's hardcoded recipe, monopsr_output_builder.py:246-248),
+    # 'by_class_mean' = per-class mean tables
+    # (geometry.feature_normalization, ref feature_normalization.py:4-107),
+    # 'none' = raw values.
+    appended_est_norm: str = 'constant'
+    class_names: Tuple[str, ...] = ('Car',)
 
     @staticmethod
     def from_model_config(model_config, dataset_config):
@@ -89,7 +101,23 @@ class NetConfig:
             cen_z_type=oc.cen_z,
             rotate_view=model_config.rotate_view,
             centroid_type=model_config.centroid_type,
+            xyz_from_depth=bool(
+                oc.get('inst_xyz_map_global_from_depth')),
+            appended_est_norm=_appended_norm_mode(
+                model_config.get('normalize_appended_ests', True)),
+            class_names=tuple(dataset_config.classes),
         )
+
+
+def _appended_norm_mode(value):
+    """Maps the YAML normalize_appended_ests value to a mode string."""
+    if value is True:
+        return 'constant'
+    if value in (False, None):
+        return 'none'
+    if value in ('constant', 'by_class_mean', 'none'):
+        return value
+    raise ValueError('Invalid normalize_appended_ests: ' + repr(value))
 
 
 def _box_feature_concat(boxes_2d, view_angs, class_indices, cam_p,
@@ -291,13 +319,25 @@ class MonoPSRNet(nn.Module):
 
         # Regression FC trunk with appended early estimates
         # (ref: monopsr_output_builder.py:200-274)
+        if cfg.appended_est_norm == 'constant':
+            prop_cen_y_norm = prop_cen_y / class_stats.PROP_CEN_Y_NORM
+            prop_cen_z_norm = prop_cen_z / cfg.max_depth
+        elif cfg.appended_est_norm == 'by_class_mean':
+            from monopsr_tpu.geometry import feature_normalization as fn
+            prop_cen_y_norm = fn.normalize_cen_y_by_mean(
+                prop_cen_y, class_indices, cfg.class_names)
+            prop_cen_z_norm = fn.normalize_cen_z_by_mean(
+                prop_cen_z, class_indices, cfg.class_names)
+        else:
+            prop_cen_y_norm = prop_cen_y
+            prop_cen_z_norm = prop_cen_z
         reg_extras = extras + [
             lwh_offs,
             outputs[constants.KEY_ALPHA_BINS],
             outputs.get(constants.KEY_ALPHA_REGS,
                         jnp.zeros_like(outputs[constants.KEY_ALPHA_BINS])),
-            prop_cen_y / class_stats.PROP_CEN_Y_NORM,
-            prop_cen_z / cfg.max_depth,
+            prop_cen_y_norm,
+            prop_cen_z_norm,
         ]
         reg_fc = FCTrunk(cfg.regression_fc_sizes, cfg.dropout_keep_prob,
                          name='regression_fc')(

@@ -228,6 +228,21 @@ def train(config, dataset, max_steps=None, log_every=None):
     # Optional one-step profiler capture (train_config.profile_step: N)
     profile_step = train_config.get('profile_step')
 
+    # Feature-map image summaries (ref: summary_utils.py:17-66 renders
+    # feature-map grids into TensorBoard during training). Enabled by the
+    # top-level `summary_images` config flag; grids of the backbone's map
+    # and box features go to <logdir>/images at every summary interval.
+    summary_images_on = bool(config.get('summary_images', False))
+    capture_fn = None
+    if summary_images_on:
+        def capture_fn(variables_tree, sample):
+            return net.apply(
+                variables_tree, **monopsr.net_inputs_from_batch(sample),
+                train=False, mutable=['intermediates'],
+                capture_intermediates=lambda mdl, _: (
+                    mdl.name == 'backbone'))
+        capture_fn = jax.jit(capture_fn)
+
     last_time = time.time()
     step = start_step
     while step < max_iterations:
@@ -252,6 +267,22 @@ def train(config, dataset, max_steps=None, log_every=None):
             print('step {:6d}  total {:.4f}  {:.2f} steps/s'.format(
                 step, float(losses['total_loss']),
                 losses['steps_per_sec']))
+
+            if capture_fn is not None:
+                from monopsr_tpu.utils import summary_images
+                sample0 = jax.tree.map(lambda x: x[0], batch)
+                _, inter = capture_fn(
+                    {'params': state.params,
+                     'batch_stats': state.batch_stats}, sample0)
+                feats = inter['intermediates']['backbone']['__call__'][0]
+                maps_f, box_f = jax.device_get(
+                    (feats[0][0], feats[1][0]))
+                summary_images.save_feature_maps(
+                    config.logdir, step, 'features_for_map',
+                    np.asarray(maps_f, np.float32))
+                summary_images.save_feature_maps(
+                    config.logdir, step, 'features_for_box_3d',
+                    np.asarray(box_f, np.float32))
 
         if step % checkpoint_interval == 0 or step == max_iterations:
             save_checkpoint(manager, state, step)
