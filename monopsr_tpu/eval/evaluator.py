@@ -92,14 +92,14 @@ class Evaluator:
                 variables, **monopsr.net_inputs_from_batch(sample),
                 train=False)
             if not compute_losses:
-                return outputs, {}, {}
+                return monopsr.pack_outputs_for_host(outputs), {}, {}
             gt = monopsr.build_gt_dict(cfg, sample, outputs)
             outputs, gt = monopsr.add_global_outputs(
                 cfg, sample, outputs, gt)
             losses, _ = monopsr.compute_losses(
                 cfg, loss_config, outputs, gt)
             metrics = monopsr.compute_metrics(cfg, outputs, gt)
-            return outputs, losses, metrics
+            return monopsr.pack_outputs_for_host(outputs), losses, metrics
 
         return jax.jit(eval_step)
 

@@ -293,6 +293,31 @@ def compute_losses(cfg: NetConfig, loss_config, outputs, gt):
     return losses, total
 
 
+def pack_outputs_for_host(outputs):
+    """Shrinks the per-sample output dict for device->host transfer.
+
+    The instance xyz maps dominate transfer bytes; they are saved as
+    float16 anyway (eval/predictions.save_predictions casts), and the
+    mask logits are only ever thresholded at 0 — so cast/threshold on
+    device and halve (xyz) / eighth (mask) the bytes before the pull.
+    Pure transfer-layer optimization: host consumers see identical
+    results.
+    """
+    packed = dict(outputs)
+    if C.KEY_INST_XYZ_MAP_LOCAL in packed:
+        packed[C.KEY_INST_XYZ_MAP_LOCAL] = (
+            packed[C.KEY_INST_XYZ_MAP_LOCAL].astype(jnp.float16))
+    if C.KEY_VALID_MASK_MAPS in packed:
+        packed[C.KEY_VALID_MASK_MAPS] = (
+            packed[C.KEY_VALID_MASK_MAPS] > 0.0)
+    # Train/val-only diagnostic maps are recomputable host-side and not
+    # part of the per-sample deliverable; keep the transfer lean.
+    packed.pop(C.KEY_INST_XYZ_MAP_GLOBAL, None)
+    packed.pop(C.KEY_INST_DEPTH_MAP_GLOBAL, None)
+    packed.pop(C.KEY_INST_XYZ_MAP_GLOBAL_FROM_DEPTH, None)
+    return packed
+
+
 def compute_metrics(cfg: NetConfig, outputs, gt, use_pallas=None):
     """In-graph eval metrics (ref: monopsr_model.py:1104-1223).
 
