@@ -24,12 +24,11 @@ import numpy as np
 
 import monopsr_tpu
 from monopsr_tpu import constants as C
-from monopsr_tpu.eval import kitti_writers, predictions
+from monopsr_tpu.eval import kitti_writers, pipeline, predictions
 from monopsr_tpu.models import monopsr
 from monopsr_tpu.train import optimizer as opt_lib
 from monopsr_tpu.train import trainer as trainer_lib
 from monopsr_tpu.train.train_state import TrainState
-from monopsr_tpu.utils import transfer
 
 
 class Evaluator:
@@ -49,6 +48,10 @@ class Evaluator:
         self.eval_wait_interval = eval_wait_interval
         self.do_kitti_native_eval = do_kitti_native_eval
         self.use_ema_weights = use_ema_weights
+        # Samples pulled per packed device->host transfer (the tunnel's
+        # per-transfer latency dominates; batching amortizes it)
+        self.pull_batch = int(
+            config.train_config.get('eval_pull_batch', 8) or 8)
 
         model_config = config.model_config
         dataset_config = config.dataset_config
@@ -169,12 +172,9 @@ class Evaluator:
         dataset.epochs_completed = 0
 
         def process(sample, step_out):
-            """Transfers, aggregates, formats, and saves one result."""
+            """Aggregates, formats, and saves one pulled result."""
             nonlocal num_evaluated
-            t0 = time.time()
-            outputs, losses, metrics = transfer.device_get_packed(
-                step_out)
-            infer_times.append(time.time() - t0)
+            outputs, losses, metrics = step_out
 
             num_objs = int(sample[C.SAMPLE_NUM_OBJS])
 
@@ -197,10 +197,16 @@ class Evaluator:
                 pred_dict, sample[C.SAMPLE_NAME], output_dirs)
             num_evaluated += 1
 
-        # Software pipeline: dispatch sample i+1's device step before
-        # pulling/formating sample i's results, so host work overlaps
-        # device compute and the transfer latency.
-        in_flight = None
+        # Software pipeline over the host<->device link: the main loop
+        # assembles samples and dispatches device steps; completed step
+        # outputs are pulled K at a time in ONE packed transfer
+        # (amortizing the tunnel's per-transfer latency), in a
+        # background thread so formatting/saving overlaps the next
+        # batch's device compute and transfer.
+        pipe = pipeline.BatchedPullPipeline(
+            process, pull_batch=self.pull_batch,
+            on_pull_time=lambda dt, n: infer_times.extend([dt] * n))
+
         for _ in range(dataset.num_samples):
             t0 = time.time()
             sample = dataset.next_batch(1, shuffle=False)[0]
@@ -210,12 +216,8 @@ class Evaluator:
                 sample, self.cfg.image_input_shape)
             feed_times.append(time.time() - t0)
 
-            step_out = self._eval_step(variables, device_sample)
-            if in_flight is not None:
-                process(*in_flight)
-            in_flight = (sample, step_out)
-        if in_flight is not None:
-            process(*in_flight)
+            pipe.add(sample, self._eval_step(variables, device_sample))
+        pipe.close()
 
         print('Evaluated {} samples at step {}'.format(
             num_evaluated, global_step))

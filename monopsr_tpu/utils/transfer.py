@@ -2,10 +2,12 @@
 
 The remote-TPU transport has high per-transfer latency (~0.4s per
 array), so `jax.device_get` on a many-leaf tree (parameters, optimizer
-state) costs minutes. `device_get_packed` groups leaves by dtype,
-concatenates them into bounded-size chunks in small jitted programs
-(compile cost stays low and cached by chunk signature), transfers one
-buffer per chunk, and splits host-side.
+state) costs minutes. `device_get_packed` bitcasts every device leaf to
+bytes inside one small jitted program, concatenates them into
+bounded-size uint8 chunks, transfers one buffer per chunk, and splits /
+reinterprets host-side. A tree of <= _CHUNK leaves (e.g. an eval step's
+outputs) therefore costs exactly ONE device->host transfer regardless
+of how many dtypes it mixes.
 """
 
 import functools
@@ -16,16 +18,33 @@ import numpy as np
 
 # Leaves per packed chunk: bounds packer compile time while amortizing
 # the per-transfer latency.
-_CHUNK = 128
+_CHUNK = 512
+
+
+def _to_bytes(x):
+    """Flat uint8 view of an array, any dtype (jit-traceable)."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.bool_:
+        x = x.astype(jnp.uint8)
+    if x.dtype != jnp.uint8:
+        x = jax.lax.bitcast_convert_type(x, jnp.uint8)
+    return x.reshape(-1)
 
 
 @functools.lru_cache(maxsize=256)
 def _chunk_packer(num_leaves):
-    """Jitted concat of num_leaves flattened arrays (dtype-agnostic)."""
+    """Jitted byte-concat of num_leaves arrays (dtype-mixing OK)."""
     if num_leaves == 1:
-        return jax.jit(lambda x: x.reshape(-1))
+        return jax.jit(_to_bytes)
     return jax.jit(
-        lambda *xs: jnp.concatenate([x.reshape(-1) for x in xs]))
+        lambda *xs: jnp.concatenate([_to_bytes(x) for x in xs]))
+
+
+def _from_bytes(buf, dtype, shape):
+    """Reinterprets a contiguous uint8 slice as (dtype, shape)."""
+    if dtype == np.bool_:
+        return buf.astype(np.bool_).reshape(shape)
+    return buf.view(dtype).reshape(shape)
 
 
 def device_get_packed(tree):
@@ -42,30 +61,23 @@ def device_get_packed(tree):
 
     host_leaves = [leaf if on_host(leaf) else None for leaf in leaves]
 
-    # Group remaining device-leaf indices by dtype (concat needs one)
-    groups = {}
-    for idx, leaf in enumerate(leaves):
-        if host_leaves[idx] is not None:
-            continue
-        dtype = str(np.asarray(jnp.result_type(leaf)).dtype) \
-            if not hasattr(leaf, 'dtype') else str(leaf.dtype)
-        groups.setdefault(dtype, []).append(idx)
-    for dtype, idxs in groups.items():
-        for start in range(0, len(idxs), _CHUNK):
-            chunk_idxs = idxs[start:start + _CHUNK]
-            chunk_leaves = [leaves[i] for i in chunk_idxs]
-            if len(chunk_idxs) == 1:
-                buf = np.asarray(
-                    _chunk_packer(1)(chunk_leaves[0]))
-            else:
-                buf = np.asarray(
-                    _chunk_packer(len(chunk_idxs))(*chunk_leaves))
-            offset = 0
-            for i in chunk_idxs:
-                shape = np.shape(leaves[i])
-                size = int(np.prod(shape)) if shape else 1
-                host_leaves[i] = buf[offset:offset + size].reshape(shape)
-                offset += size
+    device_idxs = [i for i, l in enumerate(leaves)
+                   if host_leaves[i] is None]
+    for start in range(0, len(device_idxs), _CHUNK):
+        chunk_idxs = device_idxs[start:start + _CHUNK]
+        chunk_leaves = [leaves[i] for i in chunk_idxs]
+        buf = np.asarray(
+            _chunk_packer(len(chunk_idxs))(*chunk_leaves))
+        offset = 0
+        for i in chunk_idxs:
+            leaf = leaves[i]
+            shape = np.shape(leaf)
+            dtype = np.dtype(leaf.dtype)
+            nbytes = int(np.prod(shape, dtype=np.int64)) * dtype.itemsize \
+                if shape else dtype.itemsize
+            host_leaves[i] = _from_bytes(
+                buf[offset:offset + nbytes], dtype, shape)
+            offset += nbytes
 
     return jax.tree.unflatten(treedef, host_leaves)
 

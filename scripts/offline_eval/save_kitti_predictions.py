@@ -30,9 +30,18 @@ def main():
     parser.add_argument('--data_split', default='val')
     parser.add_argument('--steps', nargs='+', required=True, type=int)
     parser.add_argument('--score_threshold', type=float, default=None)
+    parser.add_argument('--save_2d', action='store_true',
+                        help='2D-only conversion: write box_2d predictions '
+                             'in KITTI format with -1000/-10 3D placeholder '
+                             'fields (ref save_2d mode / '
+                             'evaluator_utils.py:17-110)')
+    parser.add_argument('--output_base_dir', default=None,
+                        help='Override for the outputs root '
+                             '(default <repo>/data/outputs)')
     args = parser.parse_args()
 
-    config = config_utils.parse_yaml_config(args.config_path)
+    config = config_utils.parse_yaml_config(
+        args.config_path, output_base_dir=args.output_base_dir)
     config.dataset_config.data_split = args.data_split
     mode = 'test' if args.data_split.startswith('test') else 'val'
     dataset = KittiDataset(config.dataset_config, mode)
@@ -45,6 +54,14 @@ def main():
                                   args.data_split, str(step))
         box_2d_dir = os.path.join(config.pred_dir, 'box_2d',
                                   args.data_split, str(step))
+        if args.save_2d:
+            if not os.path.isdir(box_2d_dir):
+                print('Missing predictions for step', step, ':', box_2d_dir)
+                continue
+            out_dir = kitti_writers.save_predictions_box_2d_in_kitti_format(
+                threshold, dataset, config.pred_dir, box_2d_dir, step)
+            print('step {}: 2D-only predictions -> {}'.format(step, out_dir))
+            continue
         if not os.path.isdir(box_3d_dir):
             print('Missing predictions for step', step, ':', box_3d_dir)
             continue

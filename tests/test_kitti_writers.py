@@ -91,3 +91,51 @@ def test_box_2d_kitti_format(tmp_path):
         [500.0, 150.0, 620.0, 250.0]
     assert float(fields[8]) == -1000.0                # no 3D fields
     assert float(fields[15]) == 0.8
+
+
+def test_save_kitti_predictions_cli_2d_mode(tmp_path):
+    """The offline converter's --save_2d mode drives the 2D-only writer
+    (ref: scripts/offline_eval/save_kitti_predictions.py save_2d option)."""
+    import subprocess
+    import sys
+
+    import yaml
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fixture = os.path.join(repo, 'tests', 'datasets', 'Kitti', 'object')
+    with open(os.path.join(repo, 'configs', 'monopsr_model_000.yaml')) as f:
+        raw = yaml.safe_load(f)
+    raw['dataset_config']['dataset_dir'] = fixture
+    raw['dataset_config']['mscnn_dir'] = os.path.join(fixture, 'mscnn')
+    config_path = str(tmp_path / 'cli2d.yaml')
+    with open(config_path, 'w') as f:
+        yaml.safe_dump(raw, f)
+
+    dataset = KittiDataset(make_dataset_config(), 'train')
+    sample_name = dataset.sample_list[0].name
+    out_base = str(tmp_path / 'outputs')
+    box_2d_dir = os.path.join(out_base, 'cli2d', 'predictions', 'box_2d',
+                              'train', '2000')
+    os.makedirs(box_2d_dir)
+    rows = np.array([[150.0, 500.0, 250.0, 620.0, 0.3, 0.8, 0.0]])
+    np.savetxt(os.path.join(box_2d_dir, sample_name + '.txt'), rows,
+               fmt='%0.5f')
+
+    script = os.path.join(repo, 'scripts', 'offline_eval',
+                          'save_kitti_predictions.py')
+    proc = subprocess.run(
+        [sys.executable, script, '--config_path', config_path,
+         '--data_split', 'train', '--steps', '2000', '--save_2d',
+         '--output_base_dir', out_base],
+        capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
+
+    out_path = os.path.join(out_base, 'cli2d', 'predictions',
+                            'kitti_predictions_3d', 'train', '0.1', '2000',
+                            'data', sample_name + '.txt')
+    fields = open(out_path).read().strip().split()
+    assert len(fields) == 16
+    assert fields[0] == 'Car'
+    assert float(fields[3]) == -10.0
+    assert float(fields[8]) == -1000.0
+    assert float(fields[15]) == 0.8

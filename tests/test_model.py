@@ -188,3 +188,34 @@ class TestForward:
         nonzero = sum(float(np.abs(np.asarray(g)).sum()) > 0 for g in flat)
         # The vast majority of parameters should receive gradient
         assert nonzero > 0.8 * len(flat)
+
+
+def test_batched_image_forward_matches_per_sample():
+    """The image axis is a plain vmap batch axis (serving mode,
+    bench.bench_batched): stacked frames produce the same outputs as
+    per-sample forwards."""
+    from monopsr_tpu.train import trainer as trainer_lib
+
+    cfg = TINY_CFG
+    net = MonoPSRNet(cfg=cfg)
+    samples = [make_batch(cfg) for _ in range(2)]
+    variables = net.init(jax.random.PRNGKey(0),
+                         **monopsr.net_inputs_from_batch(samples[0]),
+                         train=False)
+
+    def forward(v, s):
+        return net.apply(v, **monopsr.net_inputs_from_batch(s),
+                         train=False)
+
+    stacked = trainer_lib.stack_samples(
+        [{k: np.asarray(v) for k, v in s.items()} for s in samples])
+    batched = jax.jit(
+        lambda v, b: jax.vmap(lambda s: forward(v, s))(b))(
+            variables, stacked)
+
+    for i, sample in enumerate(samples):
+        single = jax.jit(forward)(variables, sample)
+        for key in single:
+            np.testing.assert_allclose(
+                np.asarray(batched[key][i]), np.asarray(single[key]),
+                rtol=2e-4, atol=2e-4, err_msg=key)
