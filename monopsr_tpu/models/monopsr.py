@@ -27,8 +27,33 @@ def create_net(model_config, dataset_config):
     return MonoPSRNet(cfg=cfg), cfg
 
 
+def decode_device_sample(batch):
+    """Upcasts compactly-encoded device inputs to compute dtypes.
+
+    trainer.prepare_sample ships the big per-sample arrays in their
+    source encodings to minimize host->device bytes (the image is
+    uint8-valued after augmentation, the depth map is a uint16 png of
+    metres*256, the instance image holds indices < 255): uint8 image ->
+    float32, uint16 depth -> float32 metres, uint8 instance image ->
+    int32. Lossless vs the source files; no-op on already-decoded
+    batches, so every device-side consumer can call it defensively.
+    """
+    out = dict(batch)
+    image = out.get('image')
+    if image is not None and image.dtype == jnp.uint8:
+        out['image'] = image.astype(jnp.float32)
+    depth = out.get(C.SAMPLE_DEPTH_MAP)
+    if depth is not None and depth.dtype == jnp.uint16:
+        out[C.SAMPLE_DEPTH_MAP] = depth.astype(jnp.float32) / 256.0
+    inst = out.get(kd.SAMPLE_INSTANCE_IMAGE)
+    if inst is not None and inst.dtype == jnp.uint8:
+        out[kd.SAMPLE_INSTANCE_IMAGE] = inst.astype(jnp.int32)
+    return out
+
+
 def net_inputs_from_batch(batch):
     """Extracts the MonoPSRNet call arguments from a sample batch dict."""
+    batch = decode_device_sample(batch)
     return dict(
         image=batch['image'],
         boxes_2d=batch[C.SAMPLE_LABEL_BOXES_2D],
@@ -53,6 +78,7 @@ def build_gt_dict(cfg: NetConfig, batch, outputs):
     through them (e.g. gt lwh offsets = gt_lwh - pred_lwh,
     ref: monopsr_output_builder.py:656).
     """
+    batch = decode_device_sample(batch)
     cam_p = batch[C.SAMPLE_CAM_P]
     boxes_2d = batch[C.SAMPLE_LABEL_BOXES_2D]
     boxes_3d = batch[C.SAMPLE_LABEL_BOXES_3D]

@@ -12,10 +12,12 @@ python wrapper tf_nndistance.py:15-40). Returns, like the original:
 Two implementations share a custom VJP (the handwritten CUDA gradient
 becomes a gather/scatter-add expressed in XLA):
 
-- `_nn_distance_xla`: chunked |x|^2 + |y|^2 - 2 x.y^T with running min —
-  never materializes the full (N, M) matrix across the batch.
-- `_nn_distance_pallas`: a Pallas TPU kernel tiling the distance matrix
-  through VMEM with the matmul on the MXU.
+- `_nn_bidirectional_xla`: chunked |x|^2 + |y|^2 - 2 x.y^T computing the
+  distance matrix ONCE per tile — rows reduce to direction 1, columns
+  fold into a running min for direction 2; never materializes the full
+  (N, M) matrix across the batch.
+- `_nn_bidirectional_pallas`: the same single-pass-per-tile scheme as a
+  Pallas TPU kernel, tiling through VMEM with the matmul on the MXU.
 """
 
 import functools
@@ -41,28 +43,53 @@ def _pairwise_sq_dists(x_tile, y):
 # XLA implementation (works on any backend; used for CPU and as oracle)
 # ---------------------------------------------------------------------------
 
-def _nn_direction_xla(xyz_a, xyz_b, chunk=512):
-    """For each point in xyz_a (B, N, 3), min sq-dist into xyz_b (B, M, 3)."""
-    b, n, _ = xyz_a.shape
+# Coordinate for padded points: far enough that a padded row can never
+# win a min against any real point, small enough that its squared
+# distance (~3 * (2 * _FAR)^2) stays well inside float32.
+_FAR = 1e9
+
+
+def _nn_bidirectional_xla(xyz1, xyz2, chunk=512):
+    """Both NN directions from ONE pass over the distance matrix.
+
+    dist1/idx1 reduce each (chunk, M) tile over M; dist2/idx2 are a
+    running elementwise min across tiles — the matrix is only computed
+    once (the naive two-direction formulation doubles the matmul and
+    distance-assembly work).
+    """
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
 
     pad = (-n) % chunk
     if pad:
-        # Padded points find some min; sliced away below.
-        xyz_a = jnp.pad(xyz_a, ((0, 0), (0, pad), (0, 0)))
-    num_chunks = xyz_a.shape[1] // chunk
+        # Padded points sit at _FAR so they never win a column min;
+        # their row results are sliced away below.
+        xyz1 = jnp.pad(xyz1, ((0, 0), (0, pad), (0, 0)),
+                       constant_values=_FAR)
+    num_chunks = xyz1.shape[1] // chunk
 
-    def scan_body(carry, x_chunk):
-        # x_chunk: (B, chunk, 3)
-        d = jax.vmap(_pairwise_sq_dists)(x_chunk, xyz_b)  # (B, chunk, M)
-        return carry, (jnp.min(d, axis=-1),
-                       jnp.argmin(d, axis=-1).astype(jnp.int32))
+    def scan_body(carry, inp):
+        best_d2, best_i2 = carry
+        offset, x_chunk = inp                       # (B, chunk, 3)
+        d = jax.vmap(_pairwise_sq_dists)(x_chunk, xyz2)  # (B, chunk, M)
+        row = (jnp.min(d, axis=-1),
+               jnp.argmin(d, axis=-1).astype(jnp.int32))
+        col_d = jnp.min(d, axis=1)                  # (B, M)
+        col_i = jnp.argmin(d, axis=1).astype(jnp.int32) + offset
+        take = col_d < best_d2
+        return (jnp.where(take, col_d, best_d2),
+                jnp.where(take, col_i, best_i2)), row
 
     chunks = jnp.stack(
-        jnp.split(xyz_a, num_chunks, axis=1))               # (C, B, chunk, 3)
-    _, (dists, idxs) = jax.lax.scan(scan_body, None, chunks)
-    dists = jnp.concatenate(jnp.unstack(dists), axis=1)[:, :n]
-    idxs = jnp.concatenate(jnp.unstack(idxs), axis=1)[:, :n]
-    return dists, idxs
+        jnp.split(xyz1, num_chunks, axis=1))        # (C, B, chunk, 3)
+    offsets = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+    init = (jnp.full((b, m), jnp.inf, jnp.float32),
+            jnp.zeros((b, m), jnp.int32))
+    (dist2, idx2), (dists, idxs) = jax.lax.scan(
+        scan_body, init, (offsets, chunks))
+    dist1 = jnp.concatenate(jnp.unstack(dists), axis=1)[:, :n]
+    idx1 = jnp.concatenate(jnp.unstack(idxs), axis=1)[:, :n]
+    return dist1, idx1, dist2, idx2
 
 
 # ---------------------------------------------------------------------------
@@ -73,9 +100,14 @@ _TILE_N = 256      # x columns per inner step
 _BATCH_BLOCK = 8   # batch rows per program (sublane-aligned output blocks)
 
 
-def _make_nn_direction_kernel(n_tiles):
-    def kernel(x_ref, y_ref, dist_ref, idx_ref):
-        """One program: _BATCH_BLOCK batch rows, min over all of y.
+def _make_nn_bidirectional_kernel(n_tiles):
+    def kernel(x_ref, y_ref, d1_ref, i1_ref, d2_ref, i2_ref):
+        """One program: _BATCH_BLOCK batch rows, BOTH directions.
+
+        Each (TILE_N, M) distance tile is computed once; rows reduce to
+        dist1/idx1 for that x tile, columns fold into a running
+        elementwise min for dist2/idx2 — halving the matmul + distance
+        assembly work of a two-pass formulation.
 
         Layout note: point clouds arrive transposed as (BB, 3, N) so the
         point axis sits on the 128-lane dimension; an (N, 3) block would
@@ -83,9 +115,9 @@ def _make_nn_direction_kernel(n_tiles):
         at production shapes).
 
         x_ref: (BB, 3, Np), y_ref: (BB, 3, M) VMEM;
-        dist_ref/idx_ref: (BB, Np) outputs. The (batch, x-tile) space is
-        walked with an inner loop so the live distance tile stays at
-        (TILE_N, M).
+        d1_ref/i1_ref: (BB, Np), d2_ref/i2_ref: (BB, M) outputs. The
+        (batch, x-tile) space is walked with an inner loop so the live
+        distance tile stays at (TILE_N, M).
         """
         def body(step, _):
             bi = step // n_tiles
@@ -98,9 +130,26 @@ def _make_nn_direction_kernel(n_tiles):
                 x, y, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)           # (T, M)
             d = x2 + y2 - 2.0 * xy
-            dist_ref[bi, pl.ds(ti * _TILE_N, _TILE_N)] = jnp.min(d, axis=-1)
-            idx_ref[bi, pl.ds(ti * _TILE_N, _TILE_N)] = (
+            d1_ref[bi, pl.ds(ti * _TILE_N, _TILE_N)] = jnp.min(d, axis=-1)
+            i1_ref[bi, pl.ds(ti * _TILE_N, _TILE_N)] = (
                 jnp.argmin(d, axis=-1).astype(jnp.int32))
+
+            col_d = jnp.min(d, axis=0)                        # (M,)
+            col_i = (jnp.argmin(d, axis=0).astype(jnp.int32)
+                     + ti * _TILE_N)
+
+            @pl.when(ti == 0)
+            def _init():
+                d2_ref[bi] = col_d
+                i2_ref[bi] = col_i
+
+            @pl.when(ti != 0)
+            def _fold():
+                prev_d = d2_ref[bi]
+                take = col_d < prev_d
+                d2_ref[bi] = jnp.where(take, col_d, prev_d)
+                i2_ref[bi] = jnp.where(take, col_i, i2_ref[bi])
+
             return 0
 
         jax.lax.fori_loop(0, _BATCH_BLOCK * n_tiles, body, 0)
@@ -108,25 +157,29 @@ def _make_nn_direction_kernel(n_tiles):
     return kernel
 
 
-def _nn_direction_pallas(xyz_a, xyz_b):
-    b, n, _ = xyz_a.shape
-    m = xyz_b.shape[1]
+def _nn_bidirectional_pallas(xyz1, xyz2):
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
 
     pad_n = (-n) % _TILE_N
     pad_b = (-b) % _BATCH_BLOCK
     if pad_n or pad_b:
-        xyz_a = jnp.pad(xyz_a, ((0, pad_b), (0, pad_n), (0, 0)))
-        xyz_b = jnp.pad(xyz_b, ((0, pad_b), (0, 0), (0, 0)))
-    bp, np_, _ = xyz_a.shape
+        # Padded x points sit at _FAR so they never win a column min
+        # (their own rows are sliced away); padded batch rows are fully
+        # sliced away.
+        xyz1 = jnp.pad(xyz1, ((0, pad_b), (0, pad_n), (0, 0)),
+                       constant_values=_FAR)
+        xyz2 = jnp.pad(xyz2, ((0, pad_b), (0, 0), (0, 0)))
+    bp, np_, _ = xyz1.shape
     n_tiles = np_ // _TILE_N
 
     # Lane-friendly layout: (B, 3, N)
-    xa_t = jnp.transpose(xyz_a, (0, 2, 1))
-    xb_t = jnp.transpose(xyz_b, (0, 2, 1))
+    xa_t = jnp.transpose(xyz1, (0, 2, 1))
+    xb_t = jnp.transpose(xyz2, (0, 2, 1))
 
     grid = (bp // _BATCH_BLOCK,)
-    dist, idx = pl.pallas_call(
-        _make_nn_direction_kernel(n_tiles),
+    dist1, idx1, dist2, idx2 = pl.pallas_call(
+        _make_nn_bidirectional_kernel(n_tiles),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_BATCH_BLOCK, 3, np_), lambda i: (i, 0, 0),
@@ -139,17 +192,23 @@ def _nn_direction_pallas(xyz_a, xyz_b):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BATCH_BLOCK, np_), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BATCH_BLOCK, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BATCH_BLOCK, m), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bp, np_), jnp.float32),
             jax.ShapeDtypeStruct((bp, np_), jnp.int32),
+            jax.ShapeDtypeStruct((bp, m), jnp.float32),
+            jax.ShapeDtypeStruct((bp, m), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * np_ * m * 4,
-            bytes_accessed=bp * (np_ + m) * 3 * 4 + bp * np_ * 8,
+            bytes_accessed=bp * (np_ + m) * 3 * 4 + bp * (np_ + m) * 8,
             transcendentals=0),
     )(xa_t, xb_t)
-    return dist[:b, :n], idx[:b, :n]
+    return dist1[:b, :n], idx1[:b, :n], dist2[:b, :m], idx2[:b, :m]
 
 
 # ---------------------------------------------------------------------------
@@ -158,12 +217,8 @@ def _nn_direction_pallas(xyz_a, xyz_b):
 
 def _forward(xyz1, xyz2, use_pallas):
     if use_pallas:
-        dist1, idx1 = _nn_direction_pallas(xyz1, xyz2)
-        dist2, idx2 = _nn_direction_pallas(xyz2, xyz1)
-    else:
-        dist1, idx1 = _nn_direction_xla(xyz1, xyz2)
-        dist2, idx2 = _nn_direction_xla(xyz2, xyz1)
-    return dist1, idx1, dist2, idx2
+        return _nn_bidirectional_pallas(xyz1, xyz2)
+    return _nn_bidirectional_xla(xyz1, xyz2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -211,14 +266,17 @@ def nn_distance(xyz1, xyz2, use_pallas=None):
     Args:
         xyz1: (B, N, 3) point clouds.
         xyz2: (B, M, 3) point clouds.
-        use_pallas: force the Pallas kernel on/off; default picks Pallas
-            on TPU backends.
+        use_pallas: force the Pallas kernel on/off. Default is the XLA
+            formulation on every backend: at production shapes the op is
+            VPU-reduction-bound and XLA's fused min/argmin measures
+            ~20% faster than the hand-tiled kernel (OPS_BENCH.json);
+            the Pallas kernel is kept as the explicit-control path.
 
     Returns:
         (dist1, idx1, dist2, idx2) as in the reference op.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == 'tpu'
+        use_pallas = False
     xyz1 = jnp.asarray(xyz1, jnp.float32)
     xyz2 = jnp.asarray(xyz2, jnp.float32)
     return _nn_distance(xyz1, xyz2, use_pallas)

@@ -51,6 +51,13 @@ def prepare_sample(sample_dict, image_input_shape):
     (ref: img_preprocessor.py:12-35); resize and mean-sub commute for a
     linear resampler, so the resize runs here on the host and the mean
     subtraction stays fused on device.
+
+    The big arrays ship in compact encodings (~3x fewer host->device
+    bytes; see monopsr.decode_device_sample for the device-side casts):
+    the image as uint8 (it is uint8-valued from disk/augmentation; the
+    resize interpolants round to <=0.5/255 pre-normalization), the
+    depth map as the uint16 metres*256 its png stores (lossless), the
+    instance image as uint8 indices (lossless, indices < 255).
     """
     out = {}
     image = sample_dict[C.SAMPLE_IMAGE_INPUT]
@@ -58,12 +65,18 @@ def prepare_sample(sample_dict, image_input_shape):
         np.asarray(image, np.float32),
         (image_input_shape[1], image_input_shape[0]),
         interpolation=cv2.INTER_LINEAR)
-    out['image'] = resized
+    out['image'] = np.clip(np.rint(resized), 0, 255).astype(np.uint8)
     for key in DEVICE_KEYS:
         if key == 'image':
             continue
         if key in sample_dict:   # test mode carries no GT keys
             out[key] = np.asarray(sample_dict[key])
+    if C.SAMPLE_DEPTH_MAP in out:
+        out[C.SAMPLE_DEPTH_MAP] = np.rint(
+            out[C.SAMPLE_DEPTH_MAP] * 256.0).astype(np.uint16)
+    if kd.SAMPLE_INSTANCE_IMAGE in out:
+        out[kd.SAMPLE_INSTANCE_IMAGE] = (
+            out[kd.SAMPLE_INSTANCE_IMAGE].astype(np.uint8))
     return out
 
 

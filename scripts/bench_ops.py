@@ -30,13 +30,30 @@ from monopsr_tpu.ops import emd as emd_ops
 B, N = 32, 48 * 48
 
 
-def _time(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def _time(fn, scalarize, a, b, iters=32):
+    """Per-call seconds with a forced sequential chain.
+
+    The remote-device transport dispatches asynchronously and its
+    completion signals are unreliable for microbenchmarks (independent
+    repeat calls can report dispatch latency, not execution). Chaining
+    each iteration's input on the previous iteration's output forces
+    the device to execute all `iters` calls back to back; one final
+    scalar pull then bounds the true total.
+    """
+    import jax.numpy as jnp
+
+    def step(carry, _):
+        out = fn(a * (1.0 + carry * 1e-30), b)
+        return scalarize(out), None
+
+    chained = jax.jit(
+        lambda a0: jax.lax.scan(step, a0, None, length=iters)[0])
+
+    warm = chained(jnp.float32(0.0))
+    jax.block_until_ready(warm)
     start = time.time()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    out = chained(jnp.float32(0.0))
+    _ = float(out)  # real completion: pulls a scalar that depends on all
     return (time.time() - start) / iters
 
 
@@ -45,31 +62,36 @@ def main():
     xyz1 = jax.device_put(rng.randn(B, N, 3).astype(np.float32))
     xyz2 = jax.device_put(rng.randn(B, N, 3).astype(np.float32))
 
-    chamfer_pallas = jax.jit(
-        lambda a, b: chamfer_ops.nn_distance(a, b, use_pallas=True))
-    chamfer_xla = jax.jit(
-        lambda a, b: chamfer_ops.nn_distance(a, b, use_pallas=False))
+    def chamfer_pallas(a, b):
+        return chamfer_ops.nn_distance(a, b, use_pallas=True)
+
+    def chamfer_xla(a, b):
+        return chamfer_ops.nn_distance(a, b, use_pallas=False)
+
+    def chamfer_scalarize(out):
+        return out[0].sum() + out[2].sum()
 
     results = {'shape': [B, N, 3],
                'device': str(jax.devices()[0].platform)}
 
     try:
-        t_pallas = _time(chamfer_pallas, xyz1, xyz2)
+        t_pallas = _time(chamfer_pallas, chamfer_scalarize, xyz1, xyz2)
         results['chamfer_pallas_ms'] = round(t_pallas * 1e3, 3)
     except Exception as exc:  # Pallas path is TPU-only
         results['chamfer_pallas_ms'] = None
         results['chamfer_pallas_error'] = str(exc)[:200]
 
-    t_xla = _time(chamfer_xla, xyz1, xyz2)
+    t_xla = _time(chamfer_xla, chamfer_scalarize, xyz1, xyz2)
     results['chamfer_xla_ms'] = round(t_xla * 1e3, 3)
     if results['chamfer_pallas_ms']:
         results['chamfer_speedup_vs_xla'] = round(
             t_xla / t_pallas, 2)
 
     # EMD metric cost: the full eval-mode expression (match + cost)
-    emd_fn = jax.jit(lambda a, b: emd_ops.match_cost(
-        a, b, emd_ops.approx_match(a, b)))
-    t_emd = _time(emd_fn, xyz1, xyz2, iters=5)
+    def emd_fn(a, b):
+        return emd_ops.match_cost(a, b, emd_ops.approx_match(a, b))
+
+    t_emd = _time(emd_fn, lambda out: out.sum(), xyz1, xyz2, iters=8)
     results['emd_ms'] = round(t_emd * 1e3, 3)
     results['emd_note'] = (
         'per-sample eval metric cost at production shapes; the pipelined '
