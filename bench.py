@@ -79,7 +79,12 @@ def bench_batched(batch=8):
     for rep in range(2):
         samples = [graft._synthetic_sample(cfg, seed=rep * batch + i)
                    for i in range(batch)]
-        batches.append(trainer_lib.stack_samples(samples))
+        stacked = trainer_lib.stack_samples(samples)
+        # Ship frames uint8 like the real input pipeline does
+        # (monopsr.decode_device_sample casts on device)
+        stacked['image'] = np.clip(
+            np.rint(stacked['image']), 0, 255).astype(np.uint8)
+        batches.append(stacked)
 
     batched_forward = jax.jit(
         lambda v, b: jax.vmap(lambda s: forward(v, s))(b))
