@@ -153,8 +153,8 @@ def bench_e2e():
             sample = dataset.next_batch(1, shuffle=False)[0]
             if sample is None:
                 continue
-            device_sample = trainer_lib.prepare_sample(
-                sample, cfg.image_input_shape)
+            device_sample = monopsr.strip_to_net_inputs(
+                trainer_lib.prepare_sample(sample, cfg.image_input_shape))
             pipe.add(sample, eval_step(variables, device_sample))
             count += 1
         pipe.close()

@@ -214,6 +214,10 @@ class Evaluator:
                 continue
             device_sample = trainer_lib.prepare_sample(
                 sample, self.cfg.image_input_shape)
+            if self.eval_mode == 'test':
+                # Inference needs no GT arrays on device; skip shipping
+                # the depth map / instance image (over half the bytes)
+                device_sample = monopsr.strip_to_net_inputs(device_sample)
             feed_times.append(time.time() - t0)
 
             pipe.add(sample, self._eval_step(variables, device_sample))

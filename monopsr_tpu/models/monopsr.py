@@ -51,6 +51,24 @@ def decode_device_sample(batch):
     return out
 
 
+# Sample keys the forward pass consumes (net_inputs_from_batch); GT-only
+# keys (depth map, instance image/indices, alphas...) are not in this
+# set, so inference paths can skip shipping them to the device entirely.
+NET_INPUT_SAMPLE_KEYS = (
+    'image',
+    C.SAMPLE_LABEL_BOXES_2D, C.SAMPLE_LABEL_BOXES_2D_NORM,
+    C.SAMPLE_VIEWING_ANGLES_2D, C.SAMPLE_LABEL_CLASS_INDICES,
+    C.SAMPLE_MEAN_LWH, C.SAMPLE_PROP_CEN_Z_OFFSET,
+    kd.SAMPLE_CEN_Y_OFFSETS, C.SAMPLE_CAM_P,
+)
+
+
+def strip_to_net_inputs(batch):
+    """Drops GT-only keys from a device sample (inference mode)."""
+    return {k: v for k, v in batch.items()
+            if k in NET_INPUT_SAMPLE_KEYS}
+
+
 def net_inputs_from_batch(batch):
     """Extracts the MonoPSRNet call arguments from a sample batch dict."""
     batch = decode_device_sample(batch)
