@@ -377,8 +377,7 @@ def compute_metrics(cfg: NetConfig, outputs, gt, use_pallas=None):
         cfg.num_boxes, -1, 3)
     num_valid = jnp.maximum(jnp.sum(valid, axis=(1, 2, 3)), 1.0)
 
-    match = emd_ops.approx_match(pred_pts, gt_pts)
-    emd_all = emd_ops.match_cost(pred_pts, gt_pts, match)
+    emd_all = emd_ops.emd_cost_fused(pred_pts, gt_pts)
     metrics[C.METRIC_EMD] = emd_all / num_valid
 
     dist1, _, dist2, _ = chamfer_ops.nn_distance(

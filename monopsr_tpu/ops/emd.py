@@ -153,6 +153,64 @@ def emd_distance(xyz1, xyz2, batch_chunk=4):
     return match_cost(xyz1, xyz2, match)
 
 
+def _emd_cost_fused_single(xyz1, xyz2):
+    """Annealing rounds accumulating the cost scalar directly.
+
+    Identical round math to _approx_match_single, but the cumulative
+    (N, M) plan is never materialized: each round's weight contributes
+    sum(weight * dist) to a running scalar. Cuts the plan accumulator's
+    read+write (2 x 21 MB x 11 rounds per sample at production shapes)
+    and the full plan output from HBM traffic — the metric-mode EMD is
+    memory-bound, so this roughly halves its cost (OPS_BENCH.json).
+    """
+    n = xyz1.shape[0]
+    m = xyz2.shape[0]
+    factor_l = max(n, m) / n
+    factor_r = max(n, m) / m
+
+    d = (jnp.sum(xyz1 * xyz1, axis=1, keepdims=True) +
+         jnp.sum(xyz2 * xyz2, axis=1, keepdims=True).T -
+         2.0 * xyz1 @ xyz2.T)
+    d = jnp.maximum(d, 0.0)
+    dist = jnp.sqrt(d)
+
+    def round_body(carry, level):
+        saturated_l, saturated_r, cost = carry
+        weight = jnp.exp(level * d) * saturated_r[None, :]
+        row_sum = jnp.sum(weight, axis=1, keepdims=True) + 1e-9
+        weight = weight / row_sum * saturated_l[:, None]
+        col_sum = jnp.sum(weight, axis=0) + 1e-9
+        col_scale = jnp.minimum(saturated_r / col_sum, 1.0)
+        weight = weight * col_scale[None, :]
+        saturated_l = jnp.maximum(
+            saturated_l - jnp.sum(weight, axis=1), 0.0)
+        saturated_r = jnp.maximum(
+            saturated_r - jnp.sum(weight, axis=0), 0.0)
+        cost = cost + jnp.sum(weight * dist)
+        return (saturated_l, saturated_r, cost), None
+
+    levels = jnp.asarray(
+        [0.0 if j == -2 else -(4.0 ** j) for j in _LEVELS], jnp.float32)
+    init = (jnp.full((n,), factor_l, jnp.float32),
+            jnp.full((m,), factor_r, jnp.float32),
+            jnp.float32(0.0))
+    (_, _, cost), _ = jax.lax.scan(round_body, init, levels)
+    return cost
+
+
+def emd_cost_fused(xyz1, xyz2, batch_chunk=4):
+    """Metric-mode EMD: same value as match_cost(approx_match(...)) but
+    without materializing the transport plan. Carries no gradient (use
+    emd_distance for the loss path, which needs the plan for its VJP).
+    """
+    xyz1 = jnp.asarray(xyz1, jnp.float32)
+    xyz2 = jnp.asarray(xyz2, jnp.float32)
+    cost = jax.lax.map(
+        lambda args: _emd_cost_fused_single(*args), (xyz1, xyz2),
+        batch_size=min(batch_chunk, xyz1.shape[0]))
+    return jax.lax.stop_gradient(cost)
+
+
 # ---------------------------------------------------------------------------
 # NumPy float64 oracle (direct transcription of the algorithm spec) for tests
 # ---------------------------------------------------------------------------

@@ -93,6 +93,12 @@ def main():
 
     t_emd = _time(emd_fn, lambda out: out.sum(), xyz1, xyz2, iters=8)
     results['emd_ms'] = round(t_emd * 1e3, 3)
+
+    # Metric-mode fused EMD (no plan materialization)
+    t_emd_fused = _time(emd_ops.emd_cost_fused, lambda out: out.sum(),
+                        xyz1, xyz2, iters=8)
+    results['emd_fused_ms'] = round(t_emd_fused * 1e3, 3)
+    results['emd_fused_speedup'] = round(t_emd / t_emd_fused, 2)
     results['emd_note'] = (
         'per-sample eval metric cost at production shapes; the pipelined '
         'evaluator overlaps this with host formatting')

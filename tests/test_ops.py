@@ -172,3 +172,22 @@ class TestChamferPallas:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_emd_cost_fused_matches_plan_path():
+    """emd_cost_fused == match_cost(approx_match(...)) without ever
+    materializing the plan (metric-mode fusion)."""
+    rng = np.random.RandomState(3)
+    xyz1 = rng.uniform(-2, 2, (3, 60, 3)).astype(np.float32)
+    xyz2 = rng.uniform(-2, 2, (3, 52, 3)).astype(np.float32)
+    match = emd.approx_match(xyz1, xyz2)
+    want = np.asarray(emd.match_cost(xyz1, xyz2, match))
+    got = np.asarray(emd.emd_cost_fused(xyz1, xyz2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_emd_cost_fused_no_gradient():
+    xyz1 = np.ones((1, 8, 3), np.float32)
+    xyz2 = np.zeros((1, 10, 3), np.float32)
+    g = jax.grad(lambda a: emd.emd_cost_fused(a, xyz2).sum())(xyz1)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
