@@ -18,8 +18,16 @@ from monopsr_tpu.tools import ip_basic
 
 def generate_depth_maps(data_split_dir, sample_names=None,
                         out_dir=None, fill_type='multiscale',
-                        save_depth_maps=True):
-    """Generates completed depth maps for samples in a split directory."""
+                        save_depth_maps=True, backend='host'):
+    """Generates completed depth maps for samples in a split directory.
+
+    backend='host' runs the cv2 pipeline; backend='xla' runs the
+    jit-compiled twin (ops/depth_fill.py) on the default JAX device,
+    offloading the completion from the host CPU (which stays busy with
+    LiDAR IO / projection / png writes) and batching cleanly on a TPU
+    chip. Per-shape compile is cached; KITTI has only a handful of
+    image sizes.
+    """
     velo_dir = os.path.join(data_split_dir, 'velodyne')
     calib_dir = os.path.join(data_split_dir, 'calib')
     image_dir = os.path.join(data_split_dir, 'image_2')
@@ -48,10 +56,14 @@ def generate_depth_maps(data_split_dir, sample_names=None,
         projected = depth_map_utils.project_depths(
             point_cloud, frame_calib.p2, image_shape)
 
-        if fill_type == 'multiscale':
-            final_depths, _ = ip_basic.fill_in_multiscale(projected)
-        else:
+        if fill_type != 'multiscale':
             raise ValueError('Invalid fill type: ' + fill_type)
+        if backend == 'xla':
+            from monopsr_tpu.ops import depth_fill
+            final_depths = np.asarray(
+                depth_fill.fill_in_multiscale(projected))
+        else:
+            final_depths, _ = ip_basic.fill_in_multiscale(projected)
 
         if save_depth_maps:
             depth_map_utils.save_depth_map(
@@ -65,8 +77,13 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--data_split_dir', required=True)
     parser.add_argument('--fill_type', default='multiscale')
+    parser.add_argument('--backend', default='host',
+                        choices=['host', 'xla'],
+                        help="'xla' runs the jit-compiled completion "
+                             "on the default JAX device (ops/depth_fill)")
     args = parser.parse_args()
-    generate_depth_maps(args.data_split_dir, fill_type=args.fill_type)
+    generate_depth_maps(args.data_split_dir, fill_type=args.fill_type,
+                        backend=args.backend)
 
 
 if __name__ == '__main__':
