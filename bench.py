@@ -122,12 +122,14 @@ def bench_e2e():
                            **monopsr.net_inputs_from_batch(s),
                            train=False))(sample0)
 
+    EVAL_BATCH = 4
+
     @jax.jit
-    def eval_step(variables, sample):
-        return monopsr.pack_outputs_for_host(
+    def eval_step(variables, batch):
+        return jax.vmap(lambda s: monopsr.pack_outputs_for_host(
             net.apply(variables,
-                      **monopsr.net_inputs_from_batch(sample),
-                      train=False))
+                      **monopsr.net_inputs_from_batch(s),
+                      train=False)))(batch)
 
     out_root = tempfile.mkdtemp(prefix='bench_e2e_')
     output_dirs = {C.OUT_DIR_BOX_3D: os.path.join(out_root, 'box_3d'),
@@ -137,26 +139,43 @@ def bench_e2e():
         os.makedirs(d)
 
     def run_epochs(n_epochs):
-        """One pipelined pass using the evaluator's batched-pull path."""
+        """One pipelined pass mirroring the evaluator's batched path:
+        vmapped EVAL_BATCH-sample dispatches, multi-dispatch pulls."""
         from monopsr_tpu.eval.pipeline import BatchedPullPipeline
         count = 0
 
-        def process(sample, outputs):
-            pred_dict = predictions.format_predictions(
-                cfg, outputs, sample, dataset, 'val',
-                post_process_cen_x=True)
-            predictions.save_predictions(
-                pred_dict, sample[C.SAMPLE_NAME], output_dirs)
+        def process_group(samples, batched_out):
+            for i, sample in enumerate(samples):
+                outputs = jax.tree.map(lambda x: x[i], batched_out)
+                pred_dict = predictions.format_predictions(
+                    cfg, outputs, sample, dataset, 'val',
+                    post_process_cen_x=True)
+                predictions.save_predictions(
+                    pred_dict, sample[C.SAMPLE_NAME], output_dirs)
 
-        pipe = BatchedPullPipeline(process, pull_batch=8)
+        pipe = BatchedPullPipeline(process_group, pull_batch=2)
+        group_s, group_d = [], []
+
+        def dispatch():
+            padded = group_d + [group_d[-1]] * (EVAL_BATCH - len(group_d))
+            batch = trainer_lib.stack_samples(padded)
+            pipe.add(list(group_s), eval_step(variables, batch))
+
         for _ in range(n_epochs * dataset.num_samples):
             sample = dataset.next_batch(1, shuffle=False)[0]
             if sample is None:
                 continue
             device_sample = monopsr.strip_to_net_inputs(
                 trainer_lib.prepare_sample(sample, cfg.image_input_shape))
-            pipe.add(sample, eval_step(variables, device_sample))
+            group_s.append(sample)
+            group_d.append(device_sample)
+            if len(group_d) == EVAL_BATCH:
+                dispatch()
+                group_s, group_d = [], []
             count += 1
+        if group_d:
+            dispatch()
+            group_s, group_d = [], []
         pipe.close()
         return count
 

@@ -48,10 +48,15 @@ class Evaluator:
         self.eval_wait_interval = eval_wait_interval
         self.do_kitti_native_eval = do_kitti_native_eval
         self.use_ema_weights = use_ema_weights
+        # Samples per vmapped eval dispatch (one compile; tails padded)
+        self.eval_batch = max(1, int(
+            config.train_config.get('eval_batch', 4) or 4))
         # Samples pulled per packed device->host transfer (the tunnel's
-        # per-transfer latency dominates; batching amortizes it)
-        self.pull_batch = int(
+        # per-transfer latency dominates; batching amortizes it).
+        # Internally counted in dispatch groups of eval_batch samples.
+        pull_samples = int(
             config.train_config.get('eval_pull_batch', 8) or 8)
+        self.pull_batch = max(1, pull_samples // self.eval_batch)
 
         model_config = config.model_config
         dataset_config = config.dataset_config
@@ -104,7 +109,9 @@ class Evaluator:
             metrics = monopsr.compute_metrics(cfg, outputs, gt)
             return monopsr.pack_outputs_for_host(outputs), losses, metrics
 
-        return jax.jit(eval_step)
+        # The image axis is a plain vmap batch axis: eval_batch samples
+        # per dispatch (one compile — partial tails are padded)
+        return jax.jit(jax.vmap(eval_step, in_axes=(None, 0)))
 
     # -- checkpoint management ----------------------------------------------
 
@@ -198,14 +205,35 @@ class Evaluator:
             num_evaluated += 1
 
         # Software pipeline over the host<->device link: the main loop
-        # assembles samples and dispatches device steps; completed step
-        # outputs are pulled K at a time in ONE packed transfer
-        # (amortizing the tunnel's per-transfer latency), in a
-        # background thread so formatting/saving overlaps the next
-        # batch's device compute and transfer.
+        # assembles samples and dispatches vmapped eval_batch-sample
+        # device steps; completed step outputs are pulled several
+        # dispatches at a time in ONE packed transfer (amortizing the
+        # tunnel's per-transfer latency), in a background thread so
+        # formatting/saving overlaps the next batch's device compute
+        # and transfer.
+        def process_group(group, batched_out):
+            samples = group
+            for i, sample in enumerate(samples):
+                single = jax.tree.map(lambda x: x[i], batched_out)
+                process(sample, single)
+
+        eval_batch = self.eval_batch
         pipe = pipeline.BatchedPullPipeline(
-            process, pull_batch=self.pull_batch,
-            on_pull_time=lambda dt, n: infer_times.extend([dt] * n))
+            process_group, pull_batch=self.pull_batch,
+            on_pull_time=lambda dt, n: infer_times.extend(
+                [dt / eval_batch] * (n * eval_batch)))
+
+        group_samples, group_device = [], []
+
+        def dispatch_group():
+            real = len(group_device)
+            padded = group_device + [group_device[-1]] * (
+                eval_batch - real)
+            batch = trainer_lib.stack_samples(padded)
+            # Pad rows ride along in the transfer (no extra dispatches);
+            # process_group only iterates the real samples.
+            pipe.add(list(group_samples),
+                     self._eval_step(variables, batch))
 
         for _ in range(dataset.num_samples):
             t0 = time.time()
@@ -220,7 +248,13 @@ class Evaluator:
                 device_sample = monopsr.strip_to_net_inputs(device_sample)
             feed_times.append(time.time() - t0)
 
-            pipe.add(sample, self._eval_step(variables, device_sample))
+            group_samples.append(sample)
+            group_device.append(device_sample)
+            if len(group_device) == eval_batch:
+                dispatch_group()
+                group_samples, group_device = [], []
+        if group_device:
+            dispatch_group()
         pipe.close()
 
         print('Evaluated {} samples at step {}'.format(

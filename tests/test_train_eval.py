@@ -173,6 +173,28 @@ def test_train_resume_and_evaluate(tmp_path):
     assert b'\r\n' in content
     first = content.decode().split('\r\n')[0].split()
     assert len(first) == 16
+
+    # --- Batched-vs-single eval equivalence ---
+    # The run above used the default eval_batch=4 (one full group);
+    # re-evaluate with eval_batch=3 (pads the 4-sample tail group) and
+    # eval_batch=1 and compare raw box_3d dumps.
+    ref_rows = {f: np.loadtxt(os.path.join(box_3d_dir, f)).reshape(-1, 9)
+                for f in files}
+    for eval_batch in (3, 1):
+        cfg_n = make_config(tmp_path, max_iterations=3)
+        cfg_n.dataset_config.data_split = 'val'
+        cfg_n.train_config.eval_batch = eval_batch
+        cfg_n.pred_dir = str(
+            tmp_path / 'pred_eb{}'.format(eval_batch))
+        ds_n = KittiDataset(cfg_n.dataset_config, 'val')
+        Evaluator(cfg_n, ds_n, eval_mode='val',
+                  do_kitti_native_eval=False).run_latest_checkpoints([3])
+        alt_dir = os.path.join(cfg_n.pred_dir, 'box_3d', 'val', str(step))
+        assert sorted(os.listdir(alt_dir)) == sorted(files)
+        for f in files:
+            alt = np.loadtxt(os.path.join(alt_dir, f)).reshape(-1, 9)
+            np.testing.assert_allclose(alt, ref_rows[f], rtol=1e-4,
+                                       atol=1e-4, err_msg=f)
     assert first[0] == 'Car'
 
     metrics_dir = os.path.join(val_config.exp_output_dir, 'metrics',
