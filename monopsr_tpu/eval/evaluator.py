@@ -26,6 +26,7 @@ import monopsr_tpu
 from monopsr_tpu import constants as C
 from monopsr_tpu.eval import kitti_writers, pipeline, predictions
 from monopsr_tpu.models import monopsr
+from monopsr_tpu.parallel import mesh as mesh_lib
 from monopsr_tpu.train import optimizer as opt_lib
 from monopsr_tpu.train import trainer as trainer_lib
 from monopsr_tpu.train.train_state import TrainState
@@ -48,9 +49,21 @@ class Evaluator:
         self.eval_wait_interval = eval_wait_interval
         self.do_kitti_native_eval = do_kitti_native_eval
         self.use_ema_weights = use_ema_weights
-        # Samples per vmapped eval dispatch (one compile; tails padded)
-        self.eval_batch = max(1, int(
+        # Data-parallel evaluation: shard each vmapped dispatch's image
+        # axis over a 'data' mesh (embarrassingly parallel — no
+        # collectives; params replicated). Inherits train_config.
+        # data_parallel unless eval_data_parallel overrides.
+        dp = int(config.train_config.get(
+            'eval_data_parallel',
+            config.train_config.get('data_parallel', 1)) or 1)
+        self._mesh = mesh_lib.create_mesh(min(dp, len(jax.devices())))
+        n_dev = self._mesh.devices.size
+
+        # Samples per vmapped eval dispatch (one compile; tails padded;
+        # rounded up to fill every mesh device)
+        eval_batch = max(1, int(
             config.train_config.get('eval_batch', 4) or 4))
+        self.eval_batch = -(-eval_batch // n_dev) * n_dev
         # Samples pulled per packed device->host transfer (the tunnel's
         # per-transfer latency dominates; batching amortizes it).
         # Internally counted in dispatch groups of eval_batch samples.
@@ -164,9 +177,10 @@ class Evaluator:
     def run_checkpoint_once(self, state, global_step):
         """Evaluates one checkpoint over a full dataset epoch."""
         dataset = self.dataset
-        # Restored checkpoints are host arrays; pin them on device once so
-        # every eval call doesn't re-upload the parameter tree.
-        variables = jax.device_put(
+        # Restored checkpoints are host arrays; pin them on the mesh once
+        # (replicated) so every eval call doesn't re-upload the tree.
+        variables = mesh_lib.replicate(
+            self._mesh,
             state.eval_variables(use_ema=self.use_ema_weights))
         output_dirs = self._output_dirs(global_step)
 
@@ -229,7 +243,8 @@ class Evaluator:
             real = len(group_device)
             padded = group_device + [group_device[-1]] * (
                 eval_batch - real)
-            batch = trainer_lib.stack_samples(padded)
+            batch = mesh_lib.shard_batch(
+                self._mesh, trainer_lib.stack_samples(padded))
             # Pad rows ride along in the transfer (no extra dispatches);
             # process_group only iterates the real samples.
             pipe.add(list(group_samples),

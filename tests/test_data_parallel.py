@@ -23,3 +23,15 @@ def test_two_device_step_matches_single_device():
         capture_output=True, text=True, env=env, timeout=900)
     assert out.returncode == 0, out.stdout + out.stderr
     assert 'DP_EQUIVALENCE_OK' in out.stdout, out.stdout + out.stderr
+
+
+def test_two_device_eval_matches_single_device():
+    env = dict(os.environ)
+    env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '') +
+                        ' --xla_force_host_platform_device_count=2').strip()
+    env['JAX_PLATFORMS'] = 'cpu'
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, 'tests', 'eval_dp_main.py')],
+        capture_output=True, text=True, env=env, timeout=1800)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert 'EVAL_DP_EQUIVALENCE_OK' in out.stdout, out.stdout + out.stderr
