@@ -44,13 +44,30 @@ def main():
             os.path.abspath(__file__)))),
         'configs', 'monopsr_model_000.yaml')
     parser.add_argument('--config_path', type=str, default=default_config)
+    parser.add_argument('--checkpoint_name', type=str, default=None,
+                        help='Load the frozen config from '
+                             'data/outputs/<name>/<name>.yaml instead of '
+                             '--config_path (ref run_inference contract)')
     parser.add_argument('--data_split', type=str, default='val')
     parser.add_argument('--ckpt_num', type=str, nargs='+', default=None,
                         help="Checkpoint steps to run, or 'all'")
+    parser.add_argument('--det_2d_score_thr', type=float, nargs='+',
+                        default=None,
+                        help='Override the per-class MSCNN 2D score '
+                             'thresholds (ref: run_inference.py:48-53)')
     parser.add_argument('--device', type=str, default=None)
     args = parser.parse_args()
 
-    config = config_utils.parse_yaml_config(args.config_path)
+    if args.checkpoint_name:
+        import monopsr_tpu
+        config_path = os.path.join(
+            monopsr_tpu.data_dir(), 'outputs', args.checkpoint_name,
+            args.checkpoint_name + '.yaml')
+    else:
+        config_path = args.config_path
+    config = config_utils.parse_yaml_config(config_path)
+    if args.det_2d_score_thr is not None:
+        config.dataset_config.mscnn_thr = list(args.det_2d_score_thr)
     ckpt_indices = args.ckpt_num if args.ckpt_num else 'all'
     if ckpt_indices != 'all' and ckpt_indices != ['all']:
         ckpt_indices = [int(c) for c in ckpt_indices]

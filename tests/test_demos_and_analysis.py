@@ -1,0 +1,79 @@
+"""CLI smoke tests: demos + offline-analysis scripts on fixture data."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPLIT = os.path.join(REPO, 'tests/datasets/Kitti/object/training')
+ENV = dict(os.environ, JAX_PLATFORMS='cpu', MPLBACKEND='Agg')
+
+
+def run(args):
+    out = subprocess.run([sys.executable] + args, capture_output=True,
+                         text=True, env=ENV, cwd=REPO, timeout=300)
+    assert out.returncode == 0, out.stdout + out.stderr
+    return out
+
+
+def test_view_kitti_sample_2d(tmp_path):
+    out_png = str(tmp_path / 'sample.png')
+    run(['demos/view_kitti_sample_2d.py', '--data_split_dir', SPLIT,
+         '--sample_name', '000002', '--out', out_png])
+    assert os.path.getsize(out_png) > 1000
+
+
+def test_show_jittered_boxes_2d(tmp_path):
+    out_png = str(tmp_path / 'jitter.png')
+    run(['demos/show_jittered_boxes_2d.py', '--data_split_dir', SPLIT,
+         '--sample_name', '000002', '--out', out_png])
+    assert os.path.getsize(out_png) > 1000
+
+
+def test_view_instance_masks(tmp_path):
+    out_png = str(tmp_path / 'masks.png')
+    run(['demos/view_instance_masks.py', '--data_split_dir', SPLIT,
+         '--sample_name', '000002', '--out', out_png])
+    assert os.path.getsize(out_png) > 1000
+
+
+def write_metrics_tree(base, steps=(2000, 4000)):
+    """Header-row + value-row CSVs, the evaluator's wide format."""
+    for step in steps:
+        d = os.path.join(base, str(step), 'val')
+        os.makedirs(d)
+        i = steps.index(step)
+        for stat in ('avg', 'std', 'avg_abs', 'std_abs'):
+            with open(os.path.join(d, 'metrics_{}.csv'.format(stat)),
+                      'w') as f:
+                f.write('metric_cen_z_err,metric_chamfer\n')
+                f.write('{:.4f},{:.4f}\n'.format(
+                    0.5 / (1 + i), 0.1 * (1 + i)))
+
+
+def test_plot_metrics_and_condensed(tmp_path):
+    metrics_dir = str(tmp_path / 'metrics')
+    write_metrics_tree(metrics_dir)
+    out_png = str(tmp_path / 'metrics.png')
+    run(['scripts/offline_eval/plot_metrics.py', '--metrics_dir',
+         metrics_dir, '--data_split', 'val', '--out', out_png])
+    assert os.path.getsize(out_png) > 1000
+
+    out = run(['scripts/offline_eval/print_metrics_condensed.py',
+               '--metrics_dir', metrics_dir, '--data_split', 'val'])
+    assert 'metric_cen_z_err' in out.stdout
+
+
+def test_plot_ap(tmp_path):
+    results = str(tmp_path / 'exp_results_0.1.txt')
+    with open(results, 'w') as f:
+        for step, ap in ((2000, '10.1 8.2 7.3'), (4000, '12.5 9.9 8.8')):
+            f.write('step {}\n'.format(step))
+            f.write('car_detection AP: 30.0 25.0 20.0\n')
+            f.write('car_detection_3D AP: {}\n'.format(ap))
+    out_png = str(tmp_path / 'ap.png')
+    run(['scripts/offline_eval/plot_ap.py', '--results_file', results,
+         '--out', out_png])
+    assert os.path.getsize(out_png) > 1000
