@@ -250,19 +250,45 @@ class Evaluator:
             pipe.add(list(group_samples),
                      self._eval_step(variables, batch))
 
-        for _ in range(dataset.num_samples):
-            t0 = time.time()
-            sample = dataset.next_batch(1, shuffle=False)[0]
-            if sample is None:
-                continue
-            device_sample = trainer_lib.prepare_sample(
-                sample, self.cfg.image_input_shape)
-            if self.eval_mode == 'test':
-                # Inference needs no GT arrays on device; skip shipping
-                # the depth map / instance image (over half the bytes)
-                device_sample = monopsr.strip_to_net_inputs(device_sample)
-            feed_times.append(time.time() - t0)
+        # Ordered producer thread: sample assembly (KITTI IO, MSCNN
+        # merge, resize, encode) overlaps device dispatch, transfer,
+        # and the pull worker's formatting.
+        import queue as queue_lib
+        import threading
 
+        feed_q = queue_lib.Queue(maxsize=16)
+        producer_errors = []
+
+        def producer():
+            try:
+                for _ in range(dataset.num_samples):
+                    t0 = time.time()
+                    sample = dataset.next_batch(1, shuffle=False)[0]
+                    if sample is None:
+                        continue
+                    device_sample = trainer_lib.prepare_sample(
+                        sample, self.cfg.image_input_shape)
+                    if self.eval_mode == 'test':
+                        # Inference needs no GT arrays on device; skip
+                        # shipping the depth map / instance image (over
+                        # half the bytes)
+                        device_sample = monopsr.strip_to_net_inputs(
+                            device_sample)
+                    feed_times.append(time.time() - t0)
+                    feed_q.put((sample, device_sample))
+            except BaseException as exc:
+                producer_errors.append(exc)
+            finally:
+                feed_q.put(None)
+
+        producer_thread = threading.Thread(target=producer, daemon=True)
+        producer_thread.start()
+
+        while True:
+            item = feed_q.get()
+            if item is None:
+                break
+            sample, device_sample = item
             group_samples.append(sample)
             group_device.append(device_sample)
             if len(group_device) == eval_batch:
@@ -271,6 +297,9 @@ class Evaluator:
         if group_device:
             dispatch_group()
         pipe.close()
+        producer_thread.join()
+        if producer_errors:
+            raise producer_errors[0]
 
         print('Evaluated {} samples at step {}'.format(
             num_evaluated, global_step))
