@@ -243,8 +243,11 @@ class Evaluator:
             real = len(group_device)
             padded = group_device + [group_device[-1]] * (
                 eval_batch - real)
-            batch = mesh_lib.shard_batch(
-                self._mesh, trainer_lib.stack_samples(padded))
+            batch = trainer_lib.stack_samples(padded)
+            if self._mesh.devices.size > 1:
+                # Explicit leading-axis sharding; on a 1-device mesh the
+                # jit call's own arg transfer is fewer round trips.
+                batch = mesh_lib.shard_batch(self._mesh, batch)
             # Pad rows ride along in the transfer (no extra dispatches);
             # process_group only iterates the real samples.
             pipe.add(list(group_samples),

@@ -259,7 +259,11 @@ def train(config, dataset, max_steps=None, log_every=None):
     last_time = time.time()
     step = start_step
     while step < max_iterations:
-        batch = mesh_lib.shard_batch(mesh, loader.get_batch())
+        batch = loader.get_batch()
+        if mesh.devices.size > 1:
+            # Explicit leading-axis sharding; on a 1-device mesh the
+            # jit call's own arg transfer is fewer round trips.
+            batch = mesh_lib.shard_batch(mesh, batch)
 
         if profile_step is not None and step + 1 == int(profile_step):
             from monopsr_tpu.utils import profiling
