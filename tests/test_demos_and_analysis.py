@@ -77,3 +77,40 @@ def test_plot_ap(tmp_path):
     run(['scripts/offline_eval/plot_ap.py', '--results_file', results,
          '--out', out_png])
     assert os.path.getsize(out_png) > 1000
+
+
+def test_gen_depth_maps_tool(tmp_path):
+    """Host-backend depth-map generation reproduces the shipped
+    fixture GT map bit-exactly (uint16 png round trip)."""
+    import cv2
+
+    from monopsr_tpu.tools.gen_depth_maps import generate_depth_maps
+
+    out_dir = str(tmp_path / 'depth')
+    generate_depth_maps(SPLIT, sample_names=['000002'], out_dir=out_dir)
+    got = cv2.imread(os.path.join(out_dir, '000002.png'),
+                     cv2.IMREAD_ANYDEPTH)
+    want = cv2.imread(os.path.join(SPLIT, 'depth_2_multiscale',
+                                   '000002.png'), cv2.IMREAD_ANYDEPTH)
+    assert got is not None and got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gen_instance_masks_tool(tmp_path):
+    """Instance-mask generation reproduces the shipped fixture
+    instance image."""
+    import cv2
+
+    from monopsr_tpu.tools.gen_instance_masks import \
+        generate_instance_masks
+
+    out_dir = str(tmp_path / 'inst')
+    generate_instance_masks(SPLIT, sample_names=['000002'],
+                            out_dir=out_dir)
+    got = cv2.imread(os.path.join(out_dir, '000002.png'),
+                     cv2.IMREAD_GRAYSCALE)
+    want = cv2.imread(os.path.join(
+        SPLIT, 'instance_2_depth_2_multiscale', '000002.png'),
+        cv2.IMREAD_GRAYSCALE)
+    assert got is not None and want is not None
+    np.testing.assert_array_equal(got, want)
