@@ -27,7 +27,7 @@ class TestChamfer:
     def test_identical_clouds_zero(self):
         pts = RNG.uniform(-1, 1, (2, 16, 3)).astype(np.float32)
         dist1, idx1, dist2, idx2 = chamfer.nn_distance(
-            pts, pts, use_pallas=False)
+            pts, pts)
         np.testing.assert_allclose(np.asarray(dist1), 0.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(dist2), 0.0, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
@@ -35,15 +35,14 @@ class TestChamfer:
     def test_known_offset(self):
         xyz1 = np.zeros((1, 4, 3), np.float32)
         xyz2 = np.full((1, 5, 3), 0.5, np.float32)
-        dist1, _, dist2, _ = chamfer.nn_distance(xyz1, xyz2,
-                                                 use_pallas=False)
+        dist1, _, dist2, _ = chamfer.nn_distance(xyz1, xyz2)
         np.testing.assert_allclose(np.asarray(dist1), 0.75, atol=1e-6)
         np.testing.assert_allclose(np.asarray(dist2), 0.75, atol=1e-6)
 
     def test_matches_dense_oracle(self):
         xyz1 = RNG.uniform(-3, 3, (3, 40, 3)).astype(np.float32)
         xyz2 = RNG.uniform(-3, 3, (3, 56, 3)).astype(np.float32)
-        got = chamfer.nn_distance(xyz1, xyz2, use_pallas=False)
+        got = chamfer.nn_distance(xyz1, xyz2)
         want = np_nn_distance(xyz1.astype(np.float64),
                               xyz2.astype(np.float64))
         np.testing.assert_allclose(np.asarray(got[0]), want[0],
@@ -57,7 +56,7 @@ class TestChamfer:
         # N not a multiple of the chunk exercises the padding path
         xyz1 = RNG.uniform(-3, 3, (2, 700, 3)).astype(np.float32)
         xyz2 = RNG.uniform(-3, 3, (2, 33, 3)).astype(np.float32)
-        got = chamfer.nn_distance(xyz1, xyz2, use_pallas=False)
+        got = chamfer.nn_distance(xyz1, xyz2)
         want = np_nn_distance(xyz1.astype(np.float64),
                               xyz2.astype(np.float64))
         np.testing.assert_allclose(np.asarray(got[0]), want[0],
@@ -70,7 +69,7 @@ class TestChamfer:
         xyz2 = RNG.uniform(-1, 1, (1, 8, 3)).astype(np.float32)
 
         def loss(a, b):
-            d1, _, d2, _ = chamfer.nn_distance(a, b, use_pallas=False)
+            d1, _, d2, _ = chamfer.nn_distance(a, b)
             return jnp.sum(d1) + jnp.sum(d2)
 
         g1, g2 = jax.grad(loss, argnums=(0, 1))(xyz1, xyz2)
@@ -159,21 +158,6 @@ class TestEMD:
                 assert abs(fd - float(grad[0, i, k])) < 2e-2
 
 
-@pytest.mark.skipif(jax.default_backend() != 'tpu',
-                    reason='Pallas kernel requires TPU')
-class TestChamferPallas:
-
-    def test_pallas_matches_xla(self):
-        xyz1 = RNG.uniform(-3, 3, (2, 300, 3)).astype(np.float32)
-        xyz2 = RNG.uniform(-3, 3, (2, 280, 3)).astype(np.float32)
-        got = chamfer.nn_distance(xyz1, xyz2, use_pallas=True)
-        want = chamfer.nn_distance(xyz1, xyz2, use_pallas=False)
-        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
-                                   rtol=1e-4, atol=1e-4)
-        np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
-                                   rtol=1e-4, atol=1e-4)
-
-
 def test_emd_cost_fused_matches_plan_path():
     """emd_cost_fused == match_cost(approx_match(...)) without ever
     materializing the plan (metric-mode fusion)."""
@@ -191,3 +175,51 @@ def test_emd_cost_fused_no_gradient():
     xyz2 = np.zeros((1, 10, 3), np.float32)
     g = jax.grad(lambda a: emd.emd_cost_fused(a, xyz2).sum())(xyz1)
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+class TestEMDPallasKernel:
+    """The VMEM-resident fused kernel (interpret mode on CPU; the real
+    TPU lowering is benchmarked in scripts/bench_ops.py)."""
+
+    def test_matches_xla_aligned_shapes(self):
+        import jax.numpy as jnp
+        rng = np.random.RandomState(0)
+        xyz1 = rng.randn(2, 128, 3).astype(np.float32)
+        xyz2 = (rng.randn(2, 128, 3) * 0.5 + 0.2).astype(np.float32)
+        want = np.asarray(emd.emd_cost_fused(xyz1, xyz2,
+                                             use_pallas=False))
+        got = np.asarray(emd._emd_cost_fused_pallas(
+            jnp.asarray(xyz1), jnp.asarray(xyz2), interpret=True))
+        # f32 plan store at this size; only division-order differs
+        np.testing.assert_allclose(got, want, rtol=5e-5)
+
+    def test_rectangular_matches_oracle(self):
+        import jax.numpy as jnp
+        rng = np.random.RandomState(1)
+        xyz1 = rng.randn(1, 256, 3).astype(np.float32)
+        xyz2 = rng.randn(1, 128, 3).astype(np.float32)
+        got = float(np.asarray(emd._emd_cost_fused_pallas(
+            jnp.asarray(xyz1), jnp.asarray(xyz2), interpret=True))[0])
+        match = emd.np_approx_match(xyz1[0].astype(np.float64),
+                                    xyz2[0].astype(np.float64))
+        want = emd.np_match_cost(xyz1[0].astype(np.float64),
+                                 xyz2[0].astype(np.float64), match)
+        np.testing.assert_allclose(got, want, rtol=1e-3)
+
+    def test_supported_shapes_gate(self):
+        assert emd._pallas_emd_supported((2, 2304, 3), (2, 2304, 3))
+        assert emd._pallas_emd_supported((1, 256, 3), (1, 128, 3))
+        assert not emd._pallas_emd_supported((1, 60, 3), (1, 52, 3))
+
+    @pytest.mark.skipif(jax.default_backend() != 'tpu',
+                        reason='real lowering needs TPU')
+    def test_production_shape_tpu(self):
+        rng = np.random.RandomState(2)
+        xyz1 = rng.randn(2, 2304, 3).astype(np.float32)
+        xyz2 = (rng.randn(2, 2304, 3) * 0.5).astype(np.float32)
+        want = np.asarray(emd.emd_cost_fused(xyz1, xyz2,
+                                             use_pallas=False))
+        got = np.asarray(emd.emd_cost_fused(xyz1, xyz2,
+                                            use_pallas=True))
+        # bf16 plan store at this size: ~0.04% observed, 0.5% bound
+        np.testing.assert_allclose(got, want, rtol=5e-3)
