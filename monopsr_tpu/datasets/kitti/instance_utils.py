@@ -198,3 +198,36 @@ def postprocess_cen_x(pred_box_2d, pred_box_3d, cam_p):
 
     ratio = pred_box_3d[2] / focal_length
     return (pred_u - centre_u) * ratio
+
+
+def postprocess_cen_x_batch(pred_boxes_2d, pred_boxes_3d, cam_p):
+    """Vectorized postprocess_cen_x over (N, 4+) boxes_2d / (N, 7) boxes_3d.
+
+    One pass of batched corner projection instead of a per-box Python
+    loop (parity with the scalar version is tested in
+    tests/test_predictions_vectorized.py).
+    """
+    from monopsr_tpu.geometry import boxes as box_geom
+
+    pred_boxes_2d = np.asarray(pred_boxes_2d, np.float64)
+    pred_boxes_3d = np.asarray(pred_boxes_3d, np.float64)
+    if len(pred_boxes_3d) == 0:
+        return np.zeros((0,), np.float64)
+
+    focal_length = cam_p[0, 0]
+    centre_u = cam_p[0, 2]
+
+    corners = box_geom.np_compute_box_3d_corners_batch(
+        pred_boxes_3d[:, 0:7])
+    corners_uv = box_geom.np_project_corners_batch(corners, cam_p)
+    cen_uv = box_geom.np_project_corners_batch(
+        pred_boxes_3d[:, 0:3, None], cam_p)
+
+    min_u = corners_uv[:, 0].min(-1)
+    max_u = corners_uv[:, 0].max(-1)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        u_ratio = (cen_uv[:, 0, 0] - min_u) / (max_u - min_u)
+
+    box_w = pred_boxes_2d[:, 3] - pred_boxes_2d[:, 1]
+    pred_u = pred_boxes_2d[:, 1] + u_ratio * box_w
+    return (pred_u - centre_u) * pred_boxes_3d[:, 2] / focal_length

@@ -30,6 +30,7 @@ from monopsr_tpu.parallel import mesh as mesh_lib
 from monopsr_tpu.train import optimizer as opt_lib
 from monopsr_tpu.train import trainer as trainer_lib
 from monopsr_tpu.train.train_state import TrainState
+from monopsr_tpu.utils import prefetch
 
 
 class Evaluator:
@@ -70,12 +71,21 @@ class Evaluator:
         pull_samples = int(
             config.train_config.get('eval_pull_batch', 8) or 8)
         self.pull_batch = max(1, pull_samples // self.eval_batch)
+        # Host assembly worker threads (KITTI IO / merge / resize)
+        self.producer_threads = max(1, int(
+            config.train_config.get('eval_producer_threads', 2) or 2))
+        # Per-box-slot truncation buckets for device->host pulls; the
+        # full num_boxes bucket is always present as the fallback.
+        buckets = config.train_config.get('eval_slot_buckets', (8, 16))
 
         model_config = config.model_config
         dataset_config = config.dataset_config
 
         self.net, self.cfg = monopsr.create_net(model_config,
                                                 dataset_config)
+        self._slot_buckets = sorted(
+            {int(b) for b in (buckets or ())
+             if 0 < int(b) < self.cfg.num_boxes} | {self.cfg.num_boxes})
         self.loss_config = model_config.loss_config.to_dict()
         self.post_process_cen_x = bool(
             model_config.get('post_process_cen_x', True))
@@ -108,23 +118,42 @@ class Evaluator:
         net, cfg, loss_config = self.net, self.cfg, self.loss_config
         compute_losses = self.eval_mode == 'val'
 
-        def eval_step(variables, sample):
+        def eval_one(variables, sample, max_slots):
             outputs = net.apply(
                 variables, **monopsr.net_inputs_from_batch(sample),
                 train=False)
             if not compute_losses:
-                return monopsr.pack_outputs_for_host(outputs), {}, {}
+                return (monopsr.pack_outputs_for_host(
+                    outputs, cfg.num_boxes, max_slots), {}, {})
             gt = monopsr.build_gt_dict(cfg, sample, outputs)
             outputs, gt = monopsr.add_global_outputs(
                 cfg, sample, outputs, gt)
             losses, _ = monopsr.compute_losses(
                 cfg, loss_config, outputs, gt)
-            metrics = monopsr.compute_metrics(cfg, outputs, gt)
-            return monopsr.pack_outputs_for_host(outputs), losses, metrics
+            metrics = monopsr.slice_box_slots(
+                monopsr.compute_metrics(cfg, outputs, gt),
+                cfg.num_boxes, max_slots)
+            return (monopsr.pack_outputs_for_host(
+                outputs, cfg.num_boxes, max_slots), losses, metrics)
 
         # The image axis is a plain vmap batch axis: eval_batch samples
-        # per dispatch (one compile — partial tails are padded)
-        return jax.jit(jax.vmap(eval_step, in_axes=(None, 0)))
+        # per dispatch. max_slots is static (one compile per slot
+        # bucket): per-box outputs are truncated on device to the
+        # group's bucket so padding slots never cross the link.
+        def eval_step(variables, batch, max_slots):
+            return jax.vmap(
+                lambda s: eval_one(variables, s, max_slots))(batch)
+
+        return jax.jit(eval_step, static_argnums=2)
+
+    def _slot_bucket(self, samples):
+        """Smallest configured slot bucket covering every sample's
+        num_objs (buckets bound recompiles: one program per bucket)."""
+        needed = max(int(s[C.SAMPLE_NUM_OBJS]) for s in samples)
+        for bucket in self._slot_buckets:
+            if bucket >= needed:
+                return bucket
+        return self.cfg.num_boxes
 
     # -- checkpoint management ----------------------------------------------
 
@@ -249,48 +278,37 @@ class Evaluator:
                 # jit call's own arg transfer is fewer round trips.
                 batch = mesh_lib.shard_batch(self._mesh, batch)
             # Pad rows ride along in the transfer (no extra dispatches);
-            # process_group only iterates the real samples.
+            # process_group only iterates the real samples. Per-box
+            # outputs are truncated on device to the group's slot
+            # bucket before the pull.
+            bucket = self._slot_bucket(group_samples)
             pipe.add(list(group_samples),
-                     self._eval_step(variables, batch))
+                     self._eval_step(variables, batch, bucket))
 
-        # Ordered producer thread: sample assembly (KITTI IO, MSCNN
+        # Ordered producer pool: sample assembly (KITTI IO, MSCNN
         # merge, resize, encode) overlaps device dispatch, transfer,
         # and the pull worker's formatting.
-        import queue as queue_lib
-        import threading
+        def assemble(idx):
+            t0 = time.time()
+            sample = dataset.get_sample_dict([idx])[0]
+            if sample is None:
+                return None
+            device_sample = trainer_lib.prepare_sample(
+                sample, self.cfg.image_input_shape)
+            if self.eval_mode == 'test':
+                # Inference needs no GT arrays on device; skip
+                # shipping the depth map / instance image (over
+                # half the bytes)
+                device_sample = monopsr.strip_to_net_inputs(
+                    device_sample)
+            feed_times.append(time.time() - t0)
+            return sample, device_sample
 
-        feed_q = queue_lib.Queue(maxsize=16)
-        producer_errors = []
-
-        def producer():
-            try:
-                for _ in range(dataset.num_samples):
-                    t0 = time.time()
-                    sample = dataset.next_batch(1, shuffle=False)[0]
-                    if sample is None:
-                        continue
-                    device_sample = trainer_lib.prepare_sample(
-                        sample, self.cfg.image_input_shape)
-                    if self.eval_mode == 'test':
-                        # Inference needs no GT arrays on device; skip
-                        # shipping the depth map / instance image (over
-                        # half the bytes)
-                        device_sample = monopsr.strip_to_net_inputs(
-                            device_sample)
-                    feed_times.append(time.time() - t0)
-                    feed_q.put((sample, device_sample))
-            except BaseException as exc:
-                producer_errors.append(exc)
-            finally:
-                feed_q.put(None)
-
-        producer_thread = threading.Thread(target=producer, daemon=True)
-        producer_thread.start()
-
-        while True:
-            item = feed_q.get()
+        for item in prefetch.ordered_prefetch(
+                assemble, range(dataset.num_samples),
+                num_threads=self.producer_threads):
             if item is None:
-                break
+                continue
             sample, device_sample = item
             group_samples.append(sample)
             group_device.append(device_sample)
@@ -300,9 +318,6 @@ class Evaluator:
         if group_device:
             dispatch_group()
         pipe.close()
-        producer_thread.join()
-        if producer_errors:
-            raise producer_errors[0]
 
         print('Evaluated {} samples at step {}'.format(
             num_evaluated, global_step))

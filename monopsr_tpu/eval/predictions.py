@@ -23,38 +23,57 @@ def score_boxes(dataset, sample_name, img_shape, boxes_2d, boxes_3d,
 
     Box fit compares the projected 3D box corners against the 2D
     detection; truncated projections get a 0.1 fit score
-    (ref: monopsr_output_builder.py:805-860).
+    (ref: monopsr_output_builder.py:805-860). One vectorized pass over
+    all boxes — the reference loops per box and re-reads the calib file
+    each time (ref: monopsr_output_builder.py:823); parity with the
+    scalar `project_to_image_space` rules is tested in
+    tests/test_predictions_vectorized.py.
     """
-    # One calib read per sample (the reference re-reads it per box,
-    # ref: monopsr_output_builder.py:823)
+    boxes_2d = np.asarray(boxes_2d, np.float64)
+    boxes_3d = np.asarray(boxes_3d, np.float64)
+    valid_scores = np.asarray(valid_scores, np.float64)
+    if len(boxes_3d) == 0:
+        return np.zeros_like(valid_scores)
+
     cam_p = calib_utils.get_frame_calib(dataset.calib_dir, sample_name).p2
+    image_h, image_w = img_shape[0], img_shape[1]
 
-    new_scores = np.zeros_like(valid_scores)
-    for idx, (box_2d, box_3d) in enumerate(zip(boxes_2d, boxes_3d)):
-        projected = box_geom.project_to_image_space(
-            box_3d[0:7], cam_p, truncate=True,
-            image_size=(img_shape[1], img_shape[0]))
+    corners = box_geom.np_compute_box_3d_corners_batch(boxes_3d[:, 0:7])
+    uv = box_geom.np_project_corners_batch(corners, cam_p)
+    img_boxes = np.stack([uv[:, 0].min(-1), uv[:, 1].min(-1),
+                          uv[:, 0].max(-1), uv[:, 1].max(-1)], axis=-1)
 
-        box_iou_fmt = np.squeeze(
-            box_geom.boxes_2d_to_iou_fmt([box_2d]))
+    # Discard rules of project_to_image_space(truncate=True,
+    # discard_before_truncation=True): fully outside the image, or wider/
+    # taller than 80% of it before truncation -> fit score 0.1
+    outside = ((img_boxes[:, 0] > image_w) | (img_boxes[:, 1] > image_h) |
+               (img_boxes[:, 2] < 0) | (img_boxes[:, 3] < 0))
+    too_big = (
+        (img_boxes[:, 2] - img_boxes[:, 0] > image_w * 0.8) |
+        (img_boxes[:, 3] - img_boxes[:, 1] > image_h * 0.8))
+    discarded = outside | too_big
 
-        if projected is None:
-            fit_score = 0.1
-        else:
-            width = box_iou_fmt[2] - box_iou_fmt[0]
-            height = box_iou_fmt[3] - box_iou_fmt[1]
-            corner_err = (
-                np.abs((box_iou_fmt[0] - projected[0]) / width) +
-                np.abs((box_iou_fmt[2] - projected[2]) / width) +
-                np.abs((box_iou_fmt[1] - projected[1]) / height) +
-                np.abs((box_iou_fmt[3] - projected[3]) / height))
-            fit_score = 1.0 - corner_err
+    trunc = np.empty_like(img_boxes)
+    trunc[:, 0] = np.maximum(img_boxes[:, 0], 0)
+    trunc[:, 1] = np.maximum(img_boxes[:, 1], 0)
+    trunc[:, 2] = np.minimum(img_boxes[:, 2], image_w)
+    trunc[:, 3] = np.minimum(img_boxes[:, 3], image_h)
 
-        depth_score = np.clip(1.0 - box_3d[2] / max_depth, 0.1, 1.0)
-        combined = (depth_score + fit_score) / 2.0
-        new_scores[idx] = 0.95 * valid_scores[idx] + 0.05 * combined
+    iou_fmt = box_geom.boxes_2d_to_iou_fmt(boxes_2d)  # [x1 y1 x2 y2]
+    with np.errstate(divide='ignore', invalid='ignore'):
+        width = iou_fmt[:, 2] - iou_fmt[:, 0]
+        height = iou_fmt[:, 3] - iou_fmt[:, 1]
+        corner_err = (
+            np.abs((iou_fmt[:, 0] - trunc[:, 0]) / width) +
+            np.abs((iou_fmt[:, 2] - trunc[:, 2]) / width) +
+            np.abs((iou_fmt[:, 1] - trunc[:, 1]) / height) +
+            np.abs((iou_fmt[:, 3] - trunc[:, 3]) / height))
+    fit_score = np.where(discarded, 0.1, 1.0 - corner_err)
 
-    return new_scores
+    depth_score = np.clip(1.0 - boxes_3d[:, 2] / max_depth, 0.1, 1.0)
+    combined = (depth_score + fit_score) / 2.0
+    return (0.95 * valid_scores +
+            0.05 * combined.reshape(valid_scores.shape))
 
 
 def format_predictions(cfg, output_dict, sample_dict, dataset,
@@ -93,12 +112,20 @@ def format_predictions(cfg, output_dict, sample_dict, dataset,
         output_dict[C.KEY_INST_XYZ_MAP_LOCAL])[0:num_objs]
     pred_dict[C.KEY_INST_XYZ_MAP_LOCAL] = pred_local * valid_mask_maps
 
+    # Device outputs may arrive truncated to a slot bucket
+    # (pack_outputs_for_host max_slots); the host-side label arrays are
+    # always full num_boxes — trim them to the device slot count
+    # (bucket >= num_objs always, so no valid row is lost).
+    n_slots = int(np.asarray(output_dict[C.KEY_LWH]).shape[0])
+
     # Assemble boxes_3d
-    new_boxes_2d = np.copy(sample_dict[C.SAMPLE_LABEL_BOXES_2D])
+    new_boxes_2d = np.copy(
+        sample_dict[C.SAMPLE_LABEL_BOXES_2D][:n_slots])
     if train_val_test in ('train', 'val'):
-        new_boxes_3d = np.copy(sample_dict[C.SAMPLE_LABEL_BOXES_3D])
+        new_boxes_3d = np.copy(
+            sample_dict[C.SAMPLE_LABEL_BOXES_3D][:n_slots])
     else:
-        new_boxes_3d = np.zeros([cfg.num_boxes, 7], np.float32)
+        new_boxes_3d = np.zeros([n_slots, 7], np.float32)
 
     new_boxes_3d[:, 3:6] = np.asarray(output_dict[C.KEY_LWH])
 
@@ -126,10 +153,8 @@ def format_predictions(cfg, output_dict, sample_dict, dataset,
     new_boxes_3d[:, 0:3] = pred_centroids
 
     if post_process_cen_x:
-        new_cen_x = np.asarray([
-            instance_utils.postprocess_cen_x(box_2d, box_3d, cam_p)
-            for box_2d, box_3d in zip(new_boxes_2d, new_boxes_3d)])
-        new_boxes_3d[:, 0] = np.squeeze(new_cen_x)
+        new_boxes_3d[:, 0] = instance_utils.postprocess_cen_x_batch(
+            new_boxes_2d, new_boxes_3d, cam_p)
 
     valid_boxes_3d = new_boxes_3d[0:num_objs]
     valid_boxes_2d = new_boxes_2d[0:num_objs]

@@ -33,6 +33,35 @@ def np_compute_box_3d_corners(box_3d):
     return corners
 
 
+def np_compute_box_3d_corners_batch(boxes_3d):
+    """(N, 7) boxes_3d -> (N, 3, 8) corners (NumPy twin of the JAX
+    batch version below; used by the vectorized host formatting)."""
+    b = np.asarray(boxes_3d, np.float64)
+    tx, ty, tz = b[:, 0], b[:, 1], b[:, 2]
+    l, w, h, ry = b[:, 3], b[:, 4], b[:, 5], b[:, 6]
+
+    sign_x = np.array([1, 1, -1, -1, 1, 1, -1, -1], np.float64)
+    sign_y = np.array([0, 0, 0, 0, -1, -1, -1, -1], np.float64)
+    sign_z = np.array([1, -1, -1, 1, 1, -1, -1, 1], np.float64)
+
+    x_c = (l / 2.0)[:, None] * sign_x[None, :]
+    y_c = h[:, None] * sign_y[None, :]
+    z_c = (w / 2.0)[:, None] * sign_z[None, :]
+
+    c, s = np.cos(ry)[:, None], np.sin(ry)[:, None]
+    xr = c * x_c + s * z_c + tx[:, None]
+    yr = y_c + ty[:, None]
+    zr = -s * x_c + c * z_c + tz[:, None]
+    return np.stack([xr, yr, zr], axis=1)
+
+
+def np_project_corners_batch(corners, cam_p):
+    """(N, 3, 8) corners + (3, 4) cam_p -> (N, 2, 8) pixel coords."""
+    pts = (np.einsum('ij,njk->nik', cam_p[:, :3], corners) +
+           cam_p[:, 3][None, :, None])
+    return pts[:, 0:2] / pts[:, 2:3]
+
+
 def compute_box_3d_corners_batch(boxes_3d):
     """(N, 7) boxes_3d -> (N, 3, 8) corners (JAX)."""
     tx, ty, tz = boxes_3d[:, 0], boxes_3d[:, 1], boxes_3d[:, 2]

@@ -9,6 +9,7 @@ whole step — GT crops, forward, losses — compiles into a single XLA
 program.
 """
 
+import jax
 import jax.numpy as jnp
 
 from monopsr_tpu import constants
@@ -337,13 +338,29 @@ def compute_losses(cfg: NetConfig, loss_config, outputs, gt):
     return losses, total
 
 
-def pack_outputs_for_host(outputs):
+def slice_box_slots(tree, num_boxes, max_slots):
+    """Truncates every per-box leaf (leading dim == num_boxes) to
+    max_slots slots. Downstream consumers only read [0:num_objs] rows,
+    so any max_slots >= the batch's max num_objs is lossless."""
+    if max_slots is None or max_slots >= num_boxes:
+        return tree
+    return jax.tree.map(
+        lambda x: x[:max_slots]
+        if (hasattr(x, 'ndim') and x.ndim >= 1 and
+            x.shape[0] == num_boxes) else x,
+        tree)
+
+
+def pack_outputs_for_host(outputs, num_boxes=None, max_slots=None):
     """Shrinks the per-sample output dict for device->host transfer.
 
     The instance xyz maps dominate transfer bytes; they are saved as
     float16 anyway (eval/predictions.save_predictions casts), and the
     mask logits are only ever thresholded at 0 — so cast/threshold on
     device and halve (xyz) / eighth (mask) the bytes before the pull.
+    With num_boxes + max_slots, additionally truncates the per-box axis
+    to max_slots slots (callers pick a bucket >= the batch's max
+    num_objs, cutting the pull bytes ~4x when most slots are padding).
     Pure transfer-layer optimization: host consumers see identical
     results.
     """
@@ -359,10 +376,12 @@ def pack_outputs_for_host(outputs):
     packed.pop(C.KEY_INST_XYZ_MAP_GLOBAL, None)
     packed.pop(C.KEY_INST_DEPTH_MAP_GLOBAL, None)
     packed.pop(C.KEY_INST_XYZ_MAP_GLOBAL_FROM_DEPTH, None)
+    if num_boxes is not None:
+        packed = slice_box_slots(packed, num_boxes, max_slots)
     return packed
 
 
-def compute_metrics(cfg: NetConfig, outputs, gt, use_pallas=None):
+def compute_metrics(cfg: NetConfig, outputs, gt):
     """In-graph eval metrics (ref: monopsr_model.py:1104-1223).
 
     Returns per-box arrays over all slots; the caller slices [0:num_objs]
@@ -380,8 +399,7 @@ def compute_metrics(cfg: NetConfig, outputs, gt, use_pallas=None):
     emd_all = emd_ops.emd_cost_fused(pred_pts, gt_pts)
     metrics[C.METRIC_EMD] = emd_all / num_valid
 
-    dist1, _, dist2, _ = chamfer_ops.nn_distance(
-        pred_pts, gt_pts, use_pallas=use_pallas)
+    dist1, _, dist2, _ = chamfer_ops.nn_distance(pred_pts, gt_pts)
     chamfer_all = jnp.sum(dist1, axis=1) + jnp.sum(dist2, axis=1)
     metrics[C.METRIC_CHAMFER] = chamfer_all / num_valid
 

@@ -69,3 +69,53 @@ def test_strip_to_net_inputs_drops_gt_only_keys():
     sample[C.SAMPLE_ALPHAS] = np.zeros(3)
     stripped = monopsr.strip_to_net_inputs(sample)
     assert set(stripped) == set(monopsr.NET_INPUT_SAMPLE_KEYS)
+
+
+def test_slot_truncated_pack_matches_full_pull():
+    """pack_outputs_for_host(max_slots=k) == full pull on rows [0:k]
+    for every per-box leaf; non-box leaves ride through untouched."""
+    num_boxes = 8
+    rng = np.random.RandomState(0)
+    outputs = {
+        C.KEY_INST_XYZ_MAP_LOCAL:
+            rng.randn(num_boxes, 6, 6, 3).astype(np.float32),
+        C.KEY_VALID_MASK_MAPS:
+            rng.randn(num_boxes, 6, 6, 1).astype(np.float32),
+        C.KEY_LWH: rng.randn(num_boxes, 3).astype(np.float32),
+        C.KEY_CENTROIDS: rng.randn(num_boxes, 3).astype(np.float32),
+        # Same-size leading dim that is NOT the box axis cannot be
+        # distinguished structurally; scalars/odd shapes must pass through
+        'scalar_diag': np.float32(3.5),
+    }
+    full = monopsr.pack_outputs_for_host(dict(outputs))
+    packed = monopsr.pack_outputs_for_host(
+        dict(outputs), num_boxes=num_boxes, max_slots=4)
+    for key, value in packed.items():
+        want = full[key]
+        if hasattr(value, 'ndim') and value.ndim >= 1:
+            assert value.shape[0] == 4
+            np.testing.assert_array_equal(value, np.asarray(want)[:4])
+        else:
+            np.testing.assert_array_equal(value, want)
+
+    # max_slots >= num_boxes or None: unchanged shapes
+    same = monopsr.pack_outputs_for_host(
+        dict(outputs), num_boxes=num_boxes, max_slots=num_boxes)
+    assert same[C.KEY_LWH].shape[0] == num_boxes
+
+
+def test_ordered_prefetch_preserves_order_and_raises():
+    from monopsr_tpu.utils.prefetch import ordered_prefetch
+
+    got = list(ordered_prefetch(lambda i: i * i, range(50),
+                                num_threads=4, prefetch=6))
+    assert got == [i * i for i in range(50)]
+
+    def boom(i):
+        if i == 7:
+            raise ValueError('boom')
+        return i
+
+    import pytest
+    with pytest.raises(ValueError, match='boom'):
+        list(ordered_prefetch(boom, range(20), num_threads=3))

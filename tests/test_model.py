@@ -152,8 +152,7 @@ class TestForward:
                 cfg, batch, dict(outputs), gt)
             losses, total = monopsr.compute_losses(
                 cfg, LOSS_CONFIG, outputs2, gt)
-            metrics = monopsr.compute_metrics(cfg, outputs2, gt,
-                                              use_pallas=False)
+            metrics = monopsr.compute_metrics(cfg, outputs2, gt)
             return losses, total, metrics, gt
 
         losses, total, metrics, gt = jax.jit(gt_loss_metrics)(
