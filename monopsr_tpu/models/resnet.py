@@ -30,7 +30,7 @@ import jax.numpy as jnp
 RESNET_SPECS = {
     'resnet50': ((3, 64), (4, 128), (6, 256), (3, 512)),
     'resnet101': ((3, 64), (4, 128), (23, 256), (3, 512)),
-    'resnet152': ((3, 64), (8, 256), (36, 256), (3, 512)),
+    'resnet152': ((3, 64), (8, 128), (36, 256), (3, 512)),
     # Tiny spec for CPU tests and fast iteration (same topology rules)
     'resnet_tiny': ((1, 4), (1, 8), (1, 16), (1, 32)),
 }
