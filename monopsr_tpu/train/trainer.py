@@ -220,7 +220,14 @@ def train(config, dataset, max_steps=None, log_every=None):
     max_iterations = max_steps or train_config.max_iterations
     summary_interval = log_every or train_config.summary_interval
     checkpoint_interval = train_config.checkpoint_interval
-    batch_size = mesh.devices.size
+    # Global batch = per-device batch (train_config.batch_size, default
+    # 1 = reference parity) x data-parallel mesh size. The image axis is
+    # a plain vmapped batch axis, so each device runs batch_size
+    # images' 32-proposal batches per step; gradients are averaged over
+    # the whole global batch (SURVEY §2.6 "scale by data axis").
+    per_device_batch = max(
+        1, int(train_config.get('batch_size', 1) or 1))
+    batch_size = mesh.devices.size * per_device_batch
 
     from monopsr_tpu.train.input_pipeline import PrefetchingLoader
     loader = PrefetchingLoader(
