@@ -80,6 +80,59 @@ def proj_points(xz_dist, centroid_y, viewing_angle,
     return uv, valid
 
 
+def np_proj_err_rgb(x, viewing_angle, inst_points_local, inst_rgb_map,
+                    image, valid_mask_map, cam_p, rotate_view=True):
+    """RGB-similarity projection error for pose parameters.
+
+    Projects the local instance points at the hypothesized pose, samples
+    the image's RGB values at the projected pixels, and compares them
+    against the instance's own RGB map — a pose that projects onto the
+    object yields low color difference
+    (ref: src/monopsr/core/instances/instance_metrics.py:222-250
+    `np_proj_err_rgb`, driven by `scipy_proj_err_rgb` :253-287).
+
+    Args:
+        x: (xz_dist, cen_y) or (xz_dist, cen_y, view_ang) parameters.
+        viewing_angle: fixed viewing angle (ignored if len(x) == 3).
+        inst_points_local: (N, 3) local instance points (N = roi_h*roi_w).
+        inst_rgb_map: (roi_h, roi_w, 3) instance RGB crop.
+        image: (H, W, 3) full image.
+        valid_mask_map: (roi_h, roi_w) valid-pixel mask.
+        cam_p: (3, 4) camera projection matrix.
+        rotate_view: rotate points by the viewing angle.
+
+    Returns:
+        summed |RGB difference| / 255 per valid pixel. The reference
+        indexes the image with raw rounded coordinates (wrapping /
+        crashing off-image); here projections are clipped to the image
+        bounds — a documented deviation that only affects poses
+        projecting outside the frame, which score badly either way.
+    """
+    if len(x) == 3:
+        xz_dist, cen_y, viewing_angle = x
+    else:
+        xz_dist, cen_y = x
+
+    pred_uv, _ = proj_points(
+        xz_dist, cen_y, viewing_angle, inst_points_local, cam_p,
+        rotate_view)
+
+    h, w = image.shape[:2]
+    cols = np.clip(np.round(pred_uv[0]).astype(np.int64), 0, w - 1)
+    rows = np.clip(np.round(pred_uv[1]).astype(np.int64), 0, h - 1)
+
+    roi_shape = inst_rgb_map.shape[:2]
+    guess_rgb_map = (image[rows, cols].reshape(*roi_shape, 3).astype(
+        np.float64) * valid_mask_map[..., None])
+
+    valid_count = np.count_nonzero(valid_mask_map)
+    if valid_count == 0:
+        return 1e9
+    diff = np.abs(inst_rgb_map.astype(np.float64) *
+                  valid_mask_map[..., None] - guess_rgb_map)
+    return float(diff.sum(axis=2).sum() / 255.0 / valid_count)
+
+
 def scipy_refine_pose(inst_points_local, exp_proj_uv, valid_mask, cam_p,
                       x0, viewing_angle=0.0, optimize_view_ang=False,
                       rotate_view=True):

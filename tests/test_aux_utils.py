@@ -147,6 +147,48 @@ class TestInstanceMetrics:
         assert abs(x_opt[0] - true[0]) < 0.5
         assert abs(x_opt[1] - true[1]) < 0.2
 
+    def test_rgb_proj_error_zero_at_true_pose(self):
+        from monopsr_tpu.core_utils import instance_metrics
+
+        cam_p = np.array([[700.0, 0, 600.0, 0],
+                          [0, 700.0, 180.0, 0],
+                          [0, 0, 1.0, 0]])
+        # Spatially-varying image so a wrong pose samples different RGB
+        h, w = 375, 1242
+        image = np.zeros((h, w, 3), np.uint8)
+        image[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+        image[..., 1] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
+        image[..., 2] = 128
+
+        roi = 8
+        rng = np.random.RandomState(3)
+        local = rng.uniform(-0.8, 0.8, (roi * roi, 3))
+        view_ang, xz_dist, cen_y = 0.1, 18.0, 1.4
+
+        # The instance's RGB map is what the image shows at the true pose
+        uv, _ = instance_metrics.proj_points(
+            xz_dist, cen_y, view_ang, local, cam_p)
+        cols = np.round(uv[0]).astype(int)
+        rows = np.round(uv[1]).astype(int)
+        inst_rgb_map = image[rows, cols].reshape(roi, roi, 3)
+        valid_mask_map = np.ones((roi, roi), bool)
+
+        err_true = instance_metrics.np_proj_err_rgb(
+            (xz_dist, cen_y), view_ang, local, inst_rgb_map, image,
+            valid_mask_map, cam_p)
+        assert err_true < 1e-9
+
+        err_off = instance_metrics.np_proj_err_rgb(
+            (xz_dist + 5.0, cen_y + 0.5), view_ang, local, inst_rgb_map,
+            image, valid_mask_map, cam_p)
+        assert err_off > 100 * max(err_true, 1e-6)
+
+        # 3-parameter form optimizes the viewing angle too
+        err3 = instance_metrics.np_proj_err_rgb(
+            (xz_dist, cen_y, view_ang), 0.0, local, inst_rgb_map, image,
+            valid_mask_map, cam_p)
+        assert err3 < 1e-9
+
 
 class TestDistanceMetrics:
 
