@@ -26,3 +26,9 @@ results_out=${prediction_dir}/${checkpoint_name}_results_${score_threshold}.txt
 cd "${eval_script_dir}"
 echo "step ${global_step}" | tee -a "${results_out}"
 ./evaluate_object_3d_offline "${gt_dir}" "${result_dir}" | tee -a "${results_out}"
+
+# Render PR-curve figures from the curve txts (the reference's binary
+# does this via gnuplot; we use matplotlib). Best-effort: an eval run
+# without matplotlib still produces the txts.
+# (cwd is eval_script_dir here, so the plotter sits one level up)
+python ../plot_pr_curves.py "${result_dir}" || true

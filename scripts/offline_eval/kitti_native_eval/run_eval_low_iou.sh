@@ -18,3 +18,8 @@ results_out=${prediction_dir}/${checkpoint_name}_results_low_iou_${score_thresho
 cd "${eval_script_dir}"
 echo "step ${global_step}" | tee -a "${results_out}"
 ./evaluate_object_3d_offline "${gt_dir}" "${result_dir}" low | tee -a "${results_out}"
+
+# Render PR-curve figures from the curve txts (matplotlib twin of the
+# reference's gnuplot output); best-effort.
+# (cwd is eval_script_dir here, so the plotter sits one level up)
+python ../plot_pr_curves.py "${result_dir}" || true

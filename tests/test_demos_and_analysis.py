@@ -79,6 +79,23 @@ def test_plot_ap(tmp_path):
     assert os.path.getsize(out_png) > 1000
 
 
+def test_plot_pr_curves(tmp_path):
+    """PR-curve renderer turns the native evaluator's plot/*.txt into
+    png figures (matplotlib twin of the reference's gnuplot output)."""
+    result_dir = tmp_path / 'results'
+    plot_dir = result_dir / 'plot'
+    plot_dir.mkdir(parents=True)
+    recall = np.linspace(0, 1, 41)
+    for name in ('car_detection', 'car_detection_3D'):
+        np.savetxt(str(plot_dir / (name + '.txt')),
+                   np.stack([recall, 1 - recall, 1 - recall * 0.9,
+                             1 - recall * 0.8], axis=1), fmt='%f')
+    out = run(['scripts/offline_eval/plot_pr_curves.py', str(result_dir)])
+    assert 'wrote 2 figure(s)' in out.stdout
+    for name in ('car_detection', 'car_detection_3D'):
+        assert os.path.getsize(str(plot_dir / (name + '.png'))) > 1000
+
+
 def test_gen_depth_maps_tool(tmp_path):
     """Host-backend depth-map generation reproduces the shipped
     fixture GT map bit-exactly (uint16 png round trip)."""
