@@ -1,24 +1,26 @@
 """Benchmark: MonoPSR inference frames/sec on one TPU chip.
 
-Two measurements at production shapes (full ResNet-101 dual towers,
+Measurements at production shapes (full ResNet-101 dual towers,
 32 proposal slots, 320x1216 input):
 
-- forward_fps: steady-state jitted forward latency including
-  host->device input transfer (device-side ceiling).
+- device_fps (headline): sustained forward rate with device-resident
+  inputs — on production TPU hosts the ~1.2 MB uint8 per-frame upload
+  is sub-millisecond over PCIe, so this is the deliverable rate.
+- forward_fps: jitted forward including host->device input transfer.
+- batched8_fps: 8-image vmapped serving mode.
 - e2e_fps: the pipeline a user actually runs per frame — dataset
   assembly (KITTI IO + MSCNN merge), prepare_sample, the jitted step,
   format_predictions (re-scoring + cen_x post-processing), and the
   prediction writers — measured over the mini-KITTI fixture with the
-  same software pipelining the evaluator uses
+  same software pipelining + slot-bucketed pulls the evaluator uses
   (ref: src/monopsr/core/evaluator.py:205-311 times this split).
+  A per-stage breakdown (assembly/dispatch/pull/format/write) and the
+  transport byte counts are reported so the number is auditable
+  against this host's tunnel ceiling.
+- MFU: compiled-FLOPs (jit(...).lower().compile().cost_analysis())
+  per frame over the bf16 peak of one v5e chip, for the forward,
+  batched, and full train-step programs.
 
-The headline value is device_fps (sustained rate with device-resident
-inputs — on production TPU hosts the ~1.2 MB uint8 per-frame upload is
-sub-millisecond over PCIe, so this is the deliverable single-chip
-rate). forward_fps and e2e_fps are reported alongside; on this
-development setup both are bound by the tunneled host<->device
-transport (~tens of MB/s with multi-x run-to-run swings), not by
-anything the framework controls.
 Baseline: the reference reports ~0.2 s/frame on a desktop GPU
 (arXiv:1904.01690; see BASELINE.md), i.e. 5 fps.
 """
@@ -44,6 +46,10 @@ BASELINE_FPS = 5.0  # reference: ~0.2 s/frame on GPU (BASELINE.md)
 REPO = os.path.dirname(os.path.abspath(__file__))
 FIXTURE = os.path.join(REPO, 'tests', 'datasets', 'Kitti', 'object')
 
+# Peak dense bf16 matmul throughput of one TPU v5e chip (public spec:
+# 394 TOPS int8 / 197 TFLOP/s bf16). MFU below is measured against this.
+V5E_BF16_PEAK_FLOPS = 197e12
+
 
 _ENTRY_CACHE = []
 
@@ -56,43 +62,113 @@ def _entry():
     return _ENTRY_CACHE[0]
 
 
-def bench_forward():
-    """Jitted forward + input transfer on synthetic frames."""
-    forward, (variables, sample) = _entry()
-    fn = jax.jit(forward)
+def _compiled_flops(jitted, *args):
+    """FLOPs of the compiled program (0.0 if the backend won't say)."""
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0] if analysis else {}
+        return float(analysis.get('flops', 0.0))
+    except Exception:
+        return 0.0
 
-    # Fresh host inputs each frame so the measurement includes the
-    # host->device transfer, like a real inference loop.
+
+def bench_forward():
+    """Jitted forward + per-frame host->device input transfer.
+
+    Completion is forced by pulling one scalar that depends on EVERY
+    frame's output (`block_until_ready` alone is not trustworthy
+    through the remote-device transport — it can return before the
+    work drains, which is how round 2 reported physically-impossible
+    rates; the MFU accounting added this round exposed that). The
+    1-frame run's time (dispatch + scalar-pull round trip) is
+    subtracted out.
+    """
+    import jax.numpy as jnp
+    from monopsr_tpu import constants as C
+
+    forward, (variables, _) = _entry()
+    fn = jax.jit(forward)
     frames = [graft._synthetic_sample(graft._flagship_config()[1], seed=i)
               for i in range(4)]
 
-    out = fn(variables, frames[0])
-    jax.block_until_ready(out)
+    def run(k):
+        start = time.time()
+        acc = 0.0
+        for i in range(k):
+            out = fn(variables, frames[i % len(frames)])
+            acc = acc + jnp.sum(out[C.KEY_CENTROIDS])
+        float(acc)  # one pull, data-dependent on every frame
+        return time.time() - start
 
-    n_iters = 20
-    start = time.time()
-    for i in range(n_iters):
-        out = fn(variables, frames[i % len(frames)])
-    jax.block_until_ready(out)
-    return n_iters / (time.time() - start)
+    run(2)  # compile fn + the add
+    n_iters = 16
+    t1 = min(run(1) for _ in range(2))
+    tn = min(run(n_iters) for _ in range(2))
+    return (n_iters - 1) / max(tn - t1, 1e-9)
+
+
+def _chained_scan_rate(step_fn, args, n_iters, repeats=2):
+    """Per-iteration rate of `step_fn` via a chained lax.scan.
+
+    Each iteration's input depends on the previous iteration's scalar
+    output, so neither XLA (hoisting loop-invariant work) nor the async
+    transport (early-returning block_until_ready) can shortcut the
+    chain; the k=1 run's constant cost (dispatch + scalar-pull round
+    trip, tens of ms through the dev tunnel) is subtracted.
+
+    step_fn(carry_scalar, *args) -> carry_scalar.
+    """
+    def chained(length):
+        # args must be jit ARGUMENTS (closing over them would embed the
+        # model parameters as HLO constants — hundreds of MB that the
+        # remote compile endpoint rejects)
+        def fn(c0, *xs):
+            def body(carry, _):
+                return step_fn(carry, *xs), None
+            return jax.lax.scan(body, c0, None, length=length)[0]
+        return jax.jit(fn)
+
+    def timed(fn):
+        start = time.time()
+        float(fn(0.0, *args))
+        return time.time() - start
+
+    one, many = chained(1), chained(n_iters)
+    float(one(0.0, *args))
+    float(many(0.0, *args))
+    t1 = min(timed(one) for _ in range(repeats))
+    tn = min(timed(many) for _ in range(repeats))
+    return (n_iters - 1) / max(tn - t1, 1e-9)
 
 
 def bench_device_only():
     """Forward with device-resident inputs: the chip's own sustained
     rate, independent of the host link (the dev tunnel's throughput
-    swings multi-x run to run; this number does not)."""
-    forward, (variables, sample) = _entry()
-    fn = jax.jit(forward)
-    dev_sample = jax.device_put(sample)
-    out = fn(variables, dev_sample)
-    jax.block_until_ready(out)
+    swings multi-x run to run; this number does not). Chained-scan
+    measurement — see _chained_scan_rate."""
+    import jax.numpy as jnp
+    from monopsr_tpu import constants as C
 
-    n_iters = 50
-    start = time.time()
-    for _ in range(n_iters):
-        out = fn(variables, dev_sample)
-    jax.block_until_ready(out)
-    return n_iters / (time.time() - start)
+    forward, (variables, sample) = _entry()
+    dev_sample = jax.device_put(sample)
+
+    def step(carry, variables, dev_sample):
+        s = dict(dev_sample)
+        # The carry perturbs the image so every frame's backbone work
+        # stays inside the loop (nothing is loop-invariant)
+        s['image'] = s['image'] * (1.0 + carry * 1e-30)
+        out = forward(variables, s)
+        return jnp.sum(out[C.KEY_CENTROIDS]).astype(jnp.float32)
+
+    return _chained_scan_rate(step, (variables, dev_sample), n_iters=16)
+
+
+def forward_flops():
+    """Compiled FLOPs of one single-frame forward."""
+    forward, (variables, sample) = _entry()
+    dev_sample = jax.device_put(sample)
+    return _compiled_flops(jax.jit(forward), variables, dev_sample)
 
 
 def bench_batched(batch=8):
@@ -101,6 +177,9 @@ def bench_batched(batch=8):
     The reference is structurally batch-1 (one image's 32 proposals per
     sess.run); here the image axis is just another vmapped batch axis,
     so one chip can serve stacked frames and keep the MXU fed.
+
+    Returns:
+        (fps, flops_per_frame)
     """
     forward, (variables, _) = _entry()
     from monopsr_tpu.train import trainer as trainer_lib
@@ -117,26 +196,82 @@ def bench_batched(batch=8):
             np.rint(stacked['image']), 0, 255).astype(np.uint8)
         batches.append(stacked)
 
+    import jax.numpy as jnp
+    from monopsr_tpu import constants as C
+
     batched_forward = jax.jit(
         lambda v, b: jax.vmap(lambda s: forward(v, s))(b))
-    out = batched_forward(variables, batches[0])
-    jax.block_until_ready(out)
+    dev_batch = jax.device_put(batches[0])
 
-    n_iters = 10
-    start = time.time()
-    for i in range(n_iters):
-        out = batched_forward(variables, batches[i % len(batches)])
-    jax.block_until_ready(out)
-    return n_iters * batch / (time.time() - start)
+    flops_frame = _compiled_flops(
+        batched_forward, variables, dev_batch) / batch
+
+    def step(carry, variables, dev_batch):
+        b = dict(dev_batch)
+        # uint8 images: add a carry-derived zero so the whole batch's
+        # backbone work is chained into the loop
+        b['image'] = b['image'] + (carry * 1e-30).astype(jnp.uint8)
+        out = batched_forward(variables, b)
+        return jnp.sum(out[C.KEY_CENTROIDS]).astype(jnp.float32)
+
+    rate = _chained_scan_rate(step, (variables, dev_batch), n_iters=8)
+    return rate * batch, flops_frame
+
+
+def bench_train_step(n_iters=10):
+    """Full-scale train step (GT assembly + fwd + bwd + update, one
+    jitted program, device-resident batch): per-step ms + FLOPs.
+
+    Returns:
+        (step_ms, flops_per_step)
+    """
+    _, cfg = graft._flagship_config()
+    train_step, state, batch = graft.build_train_setup(cfg, n_samples=1)
+    dev_batch = jax.device_put(batch)
+
+    flops = _compiled_flops(train_step, state, dev_batch)
+
+    # train_step donates its state arg, so every run continues from the
+    # latest output state (restarting from a donated state would read
+    # freed buffers)
+    state, losses = train_step(state, dev_batch)
+    holder = [state]
+
+    def run(k):
+        # Iterations chain through the optimizer state; one final
+        # scalar pull forces true completion (see bench_forward note)
+        start = time.time()
+        s = holder[0]
+        for _ in range(k):
+            s, losses = train_step(s, dev_batch)
+        holder[0] = s
+        float(losses['total_loss'])
+        return time.time() - start
+
+    run(1)  # warm the pull path
+    t1 = min(run(1) for _ in range(2))
+    tn = min(run(n_iters) for _ in range(2))
+    step_ms = (tn - t1) / (n_iters - 1) * 1000.0
+    return step_ms, flops
 
 
 def bench_e2e():
-    """Dataset -> prepare -> jitted step -> format -> writers, pipelined."""
+    """Dataset -> prepare -> jitted step -> format -> writers, pipelined.
+
+    Mirrors the evaluator's production path: multi-threaded ordered
+    sample assembly, vmapped EVAL_BATCH-sample dispatches, per-box
+    outputs truncated on device to the group's slot bucket, multi-
+    dispatch packed pulls, formatting/saving on the pull worker.
+
+    Returns:
+        (fps, stages_ms_per_frame, up_mb_per_frame, down_mb_per_frame)
+    """
     from monopsr_tpu import constants as C
     from monopsr_tpu.datasets.kitti.kitti_dataset import KittiDataset
     from monopsr_tpu.eval import predictions
     from monopsr_tpu.models import monopsr
     from monopsr_tpu.train import trainer as trainer_lib
+    from monopsr_tpu.utils import prefetch as prefetch_lib
 
     config, cfg = graft._flagship_config()
     dataset_config = config.dataset_config
@@ -144,8 +279,7 @@ def bench_e2e():
     dataset_config.mscnn_dir = os.path.join(FIXTURE, 'mscnn')
     dataset = KittiDataset(dataset_config, 'val')
 
-    net = cfg_net = monopsr.create_net(config.model_config,
-                                       dataset_config)[0]
+    net = monopsr.create_net(config.model_config, dataset_config)[0]
 
     sample0 = trainer_lib._first_valid_sample(dataset, cfg)
     variables = jax.jit(
@@ -154,13 +288,16 @@ def bench_e2e():
                            train=False))(sample0)
 
     EVAL_BATCH = 4
+    SLOT_BUCKETS = (8, 16, cfg.num_boxes)
 
-    @jax.jit
-    def eval_step(variables, batch):
+    def eval_step_fn(variables, batch, max_slots):
         return jax.vmap(lambda s: monopsr.pack_outputs_for_host(
             net.apply(variables,
                       **monopsr.net_inputs_from_batch(s),
-                      train=False)))(batch)
+                      train=False),
+            cfg.num_boxes, max_slots))(batch)
+
+    eval_step = jax.jit(eval_step_fn, static_argnums=2)
 
     out_root = tempfile.mkdtemp(prefix='bench_e2e_')
     output_dirs = {C.OUT_DIR_BOX_3D: os.path.join(out_root, 'box_3d'),
@@ -169,35 +306,70 @@ def bench_e2e():
     for d in output_dirs.values():
         os.makedirs(d)
 
-    def run_epochs(n_epochs):
-        """One pipelined pass mirroring the evaluator's batched path:
-        vmapped EVAL_BATCH-sample dispatches, multi-dispatch pulls."""
+    bytes_stats = {'up': 0, 'down': 0, 'frames_up': 0, 'frames_down': 0}
+
+    def run_epochs(n_epochs, stages=None):
+        """One pipelined pass mirroring the evaluator's batched path."""
         from monopsr_tpu.eval.pipeline import BatchedPullPipeline
         count = 0
+
+        def note(stage, dt, n=1):
+            if stages is not None:
+                stages.add(stage, dt, n)
 
         def process_group(samples, batched_out):
             for i, sample in enumerate(samples):
                 outputs = jax.tree.map(lambda x: x[i], batched_out)
+                if i == 0:
+                    bytes_stats['down'] += sum(
+                        np.asarray(v).nbytes for v in outputs.values())
+                    bytes_stats['frames_down'] += 1
+                t0 = time.time()
                 pred_dict = predictions.format_predictions(
                     cfg, outputs, sample, dataset, 'val',
                     post_process_cen_x=True)
+                note('format', time.time() - t0)
+                t0 = time.time()
                 predictions.save_predictions(
                     pred_dict, sample[C.SAMPLE_NAME], output_dirs)
+                note('write', time.time() - t0)
 
-        pipe = BatchedPullPipeline(process_group, pull_batch=2)
+        pipe = BatchedPullPipeline(
+            process_group, pull_batch=2,
+            on_pull_time=lambda dt, n: note(
+                'pull', dt, n * EVAL_BATCH))
         group_s, group_d = [], []
 
         def dispatch():
+            needed = max(int(s[C.SAMPLE_NUM_OBJS]) for s in group_s)
+            bucket = next((b for b in SLOT_BUCKETS if b >= needed),
+                          cfg.num_boxes)
             padded = group_d + [group_d[-1]] * (EVAL_BATCH - len(group_d))
+            t0 = time.time()
             batch = trainer_lib.stack_samples(padded)
-            pipe.add(list(group_s), eval_step(variables, batch))
+            pipe.add(list(group_s), eval_step(variables, batch, bucket))
+            note('dispatch', time.time() - t0, len(group_s))
 
-        for _ in range(n_epochs * dataset.num_samples):
-            sample = dataset.next_batch(1, shuffle=False)[0]
+        def assemble(idx):
+            t0 = time.time()
+            sample = dataset.get_sample_dict([idx % dataset.num_samples])[0]
             if sample is None:
-                continue
+                return None
             device_sample = monopsr.strip_to_net_inputs(
                 trainer_lib.prepare_sample(sample, cfg.image_input_shape))
+            note('assembly', time.time() - t0)
+            if bytes_stats['frames_up'] < 32:
+                bytes_stats['up'] += sum(
+                    np.asarray(v).nbytes for v in device_sample.values())
+                bytes_stats['frames_up'] += 1
+            return sample, device_sample
+
+        for item in prefetch_lib.ordered_prefetch(
+                assemble, range(n_epochs * dataset.num_samples),
+                num_threads=2):
+            if item is None:
+                continue
+            sample, device_sample = item
             group_s.append(sample)
             group_d.append(device_sample)
             if len(group_d) == EVAL_BATCH:
@@ -211,21 +383,27 @@ def bench_e2e():
         return count
 
     # Warmup with the same epoch structure as the measured pass so the
-    # packed-transfer programs for every pull-batch size are compiled
-    # (sizes depend on sample count vs pull_batch) + file-cache prime.
+    # slot-bucket programs and packed-transfer packers for every
+    # pull-batch size are compiled + file-cache primed.
     run_epochs(3)
 
+    stages = prefetch_lib.StageTimes()
     start = time.time()
-    count = run_epochs(3)
+    count = run_epochs(3, stages=stages)
     elapsed = time.time() - start
 
     shutil.rmtree(out_root, ignore_errors=True)
-    return count / elapsed
+    up_mb = bytes_stats['up'] / max(bytes_stats['frames_up'], 1) / 1e6
+    down_mb = (bytes_stats['down'] / max(bytes_stats['frames_down'], 1)
+               / 1e6)
+    stages_ms = stages.per_item_ms()
+    stages_ms['wall'] = elapsed / max(count, 1) * 1000.0
+    return count / elapsed, stages_ms, up_mb, down_mb
 
 
 def measure_d2h_mbps(size_mb=4):
     """Device->host bandwidth of this chip's transport (context for
-    e2e_fps: each sample pulls ~0.5 MB of maps/boxes to the host)."""
+    e2e_fps: each sample pulls its sliced maps/boxes to the host)."""
     x = jax.device_put(
         np.zeros((size_mb * 1024 * 1024 // 4,), np.float32))
     jax.block_until_ready(x)
@@ -235,36 +413,68 @@ def measure_d2h_mbps(size_mb=4):
 
 
 def best_of(fn, n=2):
-    """Max over n passes: the tunneled dev transport has multi-x
+    """Max over n passes (the tunneled dev transport has multi-x
     run-to-run interference; the best pass reflects the sustained
-    capability of the chip + framework."""
-    return max(fn() for _ in range(n))
+    capability of the chip + framework) — every pass is recorded in
+    the output JSON so the swing is auditable."""
+    passes = [fn() for _ in range(n)]
+    return max(passes), passes
 
 
 def main():
     forward_fps = bench_forward()
-    device_fps = best_of(bench_device_only)
-    batched_fps = bench_batched()
-    e2e_fps = bench_e2e()
+    device_fps, device_passes = best_of(bench_device_only)
+    batched_fps, batched_flops_frame = bench_batched()
+    e2e_fps, e2e_stages, up_mb, down_mb = bench_e2e()
     d2h = measure_d2h_mbps()
+    fwd_flops = forward_flops()
+    train_ms, train_flops = bench_train_step()
+
+    peak = V5E_BF16_PEAK_FLOPS
+    transport_ceiling = d2h / max(up_mb + down_mb, 1e-9)
     result = {
         'metric': 'inference_fps_tpu_v5e',
         'value': round(device_fps, 2),
         'unit': 'frames/sec',
         'vs_baseline': round(device_fps / BASELINE_FPS, 2),
         'device_fps': round(device_fps, 2),
+        'device_fps_passes': [round(p, 2) for p in device_passes],
         'forward_fps': round(forward_fps, 2),
         'batched8_fps': round(batched_fps, 2),
         'e2e_fps': round(e2e_fps, 2),
         'e2e_vs_baseline': round(e2e_fps / BASELINE_FPS, 2),
+        'e2e_stages_ms_per_frame':
+            {k: round(v, 2) for k, v in sorted(e2e_stages.items())},
+        'e2e_up_mb_per_frame': round(up_mb, 3),
+        'e2e_down_mb_per_frame': round(down_mb, 3),
         'd2h_mbps': round(d2h, 1),
+        'transport_ceiling_fps': round(transport_ceiling, 1),
+        'e2e_pct_of_ceiling': round(
+            100.0 * e2e_fps / max(min(transport_ceiling, device_fps),
+                                  1e-9), 1),
+        'mfu': {
+            'peak_tflops_bf16': peak / 1e12,
+            'forward_gflops_per_frame': round(fwd_flops / 1e9, 2),
+            'device_mfu_pct': round(
+                100.0 * fwd_flops * device_fps / peak, 2),
+            'batched8_gflops_per_frame': round(
+                batched_flops_frame / 1e9, 2),
+            'batched8_mfu_pct': round(
+                100.0 * batched_flops_frame * batched_fps / peak, 2),
+            'train_step_ms': round(train_ms, 2),
+            'train_gflops_per_step': round(train_flops / 1e9, 2),
+            'train_mfu_pct': round(
+                100.0 * train_flops / (train_ms / 1000.0) / peak, 2),
+        },
         'note': ('value = sustained device rate (device-resident '
-                 'inputs; on production hosts the ~1.2 MB uint8 '
-                 'per-frame upload is sub-ms over PCIe so this is the '
-                 'deliverable rate). forward_fps/e2e_fps include this '
-                 'dev machine\'s tunneled transport (~d2h_mbps MB/s, '
-                 'multi-x run-to-run swings); e2e also includes dataset '
-                 'assembly, host formatting, and prediction writes.'),
+                 'inputs; on production hosts the per-frame upload is '
+                 'sub-ms over PCIe so this is the deliverable rate). '
+                 'forward_fps/e2e_fps include this dev machine\'s '
+                 'tunneled transport (d2h_mbps, multi-x run-to-run '
+                 'swings); e2e also includes dataset assembly, host '
+                 'formatting, and prediction writes — see '
+                 'e2e_stages_ms_per_frame. MFU = compiled-FLOPs * '
+                 'rate / v5e bf16 peak.'),
     }
     print(json.dumps(result))
 
