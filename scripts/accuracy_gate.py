@@ -1,23 +1,31 @@
 """Accuracy regression gate: train -> eval -> native KITTI AP as one JSON.
 
 Closes the accuracy half of the north star at the scale this environment
-allows: overfits the full production model (ResNet-101 dual towers,
-bf16, 320x1216, 32 proposal slots) on the checked-in mini-KITTI fixture
-THROUGH the complete pipeline — MSCNN merge, oversample + box jitter,
-GT instance crops, training, checkpointing, EMA weights, the evaluator,
-score re-scoring, postprocess_cen_x, KITTI writers, and the native C++
-evaluator — then gates on the resulting Car AP.
+allows, in two phases:
 
-At convergence the predicted boxes match GT, so every AP curve
-(image / BEV / 3D at 0.7 IoU) reaches the fixture's recall-grid maximum
-and they all agree; any geometric-contract regression (crops, offsets,
-centroid assembly, writers, protocol) breaks that agreement. This is
-the fixture-scale stand-in for full-KITTI parity; see RUNBOOK.md for
-the full-scale procedure and the BASELINE.md numbers it should hit.
+1. Overfit-consistency (train split): overfits the full production model
+   (ResNet-101 dual towers, bf16, 320x1216, 32 proposal slots) on the
+   checked-in mini-KITTI fixture THROUGH the complete pipeline — MSCNN
+   merge, oversample + box jitter, GT instance crops, training,
+   checkpointing, EMA weights, the evaluator, score re-scoring,
+   postprocess_cen_x, KITTI writers, and the native C++ evaluator. At
+   convergence predicted boxes match GT, so every AP curve (image / BEV /
+   3D at 0.7 IoU) reaches the fixture's recall-grid maximum AND they all
+   agree; any geometric-contract regression (crops, offsets, centroid
+   assembly, writers, protocol) breaks that agreement. The gate enforces
+   the AP floor, the image==BEV==3D agreement, and ceilings on the
+   in-graph metrics (|cen_z err|, chamfer).
 
-Usage (driver-runnable, ~20 min on one TPU chip):
-    python scripts/accuracy_gate.py --out ACCURACY_r02.json
-    python scripts/accuracy_gate.py --steps 200 --min_ap 0  # smoke only
+2. Generalization sanity (val split): evaluates the same checkpoint on
+   the fixture's held-out val samples through the real val-mode path
+   (MSCNN merge ref: kitti_dataset.py:259-273, distance default scores,
+   re-scoring) and gates on nonzero Car AP at the low-IoU regime —
+   proving the val pipeline produces sane detections on unseen frames,
+   not just train-split self-consistency.
+
+Usage (driver-runnable, ~30-40 min on one TPU chip):
+    python scripts/accuracy_gate.py --out ACCURACY_r03.json
+    python scripts/accuracy_gate.py --steps 200 --min_ap 0 --min_val_ap -1
 
 Ref contract: README.md:94-115 (train -> infer -> kitti_native_eval),
 evaluator.py:136-383.
@@ -43,15 +51,15 @@ CURVES = ('car_detection', 'car_orientation', 'car_detection_BEV',
           'car_detection_3D')
 
 
-def build_gate_config(args, out_dir):
-    """Canonical config re-targeted at the fixture for an overfit run."""
+def build_gate_config(args, out_dir, data_split, suffix=''):
+    """Canonical config re-targeted at the fixture."""
     with open(CANONICAL) as f:
         raw = yaml.safe_load(f)
 
     ds = raw['dataset_config']
     ds['dataset_dir'] = FIXTURE
     ds['mscnn_dir'] = os.path.join(FIXTURE, 'mscnn')
-    ds['data_split'] = args.split
+    ds['data_split'] = data_split
     ds['seed'] = args.seed
 
     tc = raw['train_config']
@@ -62,17 +70,22 @@ def build_gate_config(args, out_dir):
     opt = tc['optimizer']['adam_optimizer']
     opt['moving_average_decay'] = args.ema_decay
 
+    # The yaml basename IS the experiment identity (checkpoint dir
+    # etc.), so split variants live in subdirectories under the same
+    # name — the val phase must find the train phase's checkpoints.
+    if suffix:
+        out_dir = os.path.join(out_dir, suffix.strip('_'))
+        os.makedirs(out_dir, exist_ok=True)
     config_path = os.path.join(out_dir, 'accuracy_gate.yaml')
     with open(config_path, 'w') as f:
         yaml.safe_dump(raw, f)
     return config_path
 
 
-def parse_results_txt(path):
-    """Parses the native evaluator transcript into {curve: [E, M, H]}."""
+def parse_results_text(text):
+    """Parses a native evaluator transcript into {curve: [E, M, H]},
+    keeping the LAST occurrence of each curve."""
     aps = {}
-    with open(path) as f:
-        text = f.read()
     for curve in CURVES:
         matches = re.findall(
             curve + r' AP: ([\d.]+) ([\d.]+) ([\d.]+)', text)
@@ -81,20 +94,41 @@ def parse_results_txt(path):
     return aps
 
 
+def read_results(config, evaluator, low_iou=False):
+    name = '{}_results_{}{}.txt'.format(
+        config.config_name, 'low_iou_' if low_iou else '',
+        round(evaluator.score_threshold, 3))
+    path = os.path.join(config.pred_dir, name)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return parse_results_text(f.read())
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--out', default=None,
                         help='Output JSON path (default ACCURACY.json)')
     parser.add_argument('--steps', type=int, default=2500)
-    parser.add_argument('--split', default='train',
-                        choices=['train', 'val', 'trainval'])
     parser.add_argument('--seed', type=int, default=42)
     parser.add_argument('--ema_decay', type=float, default=0.995,
                         help='EMA decay sized for the overfit horizon '
                              '(canonical 0.9999 barely moves in 2.5k '
                              'steps; the evaluator scores EMA weights)')
-    parser.add_argument('--min_ap', type=float, default=15.0,
-                        help='Gate: minimum Car AP_3D moderate @0.7 IoU')
+    parser.add_argument('--min_ap', type=float, default=25.0,
+                        help='Gate: minimum train-split Car AP_3D '
+                             'moderate @0.7 IoU (fixture grid max ~27.3)')
+    parser.add_argument('--ap_agreement', type=float, default=3.0,
+                        help='Gate: max |AP_3D - AP_BEV| and '
+                             '|AP_3D - AP_image| on the train split')
+    parser.add_argument('--max_cen_z_err', type=float, default=0.3,
+                        help='Gate: ceiling on |avg cen_z error| (m)')
+    parser.add_argument('--max_chamfer', type=float, default=0.2,
+                        help='Gate: ceiling on avg chamfer metric')
+    parser.add_argument('--min_val_ap', type=float, default=0.0,
+                        help='Gate: held-out val Car AP_3D moderate at '
+                             'the LOW IoU regime must EXCEED this '
+                             '(negative disables the val phase)')
     parser.add_argument('--skip_train', action='store_true',
                         help='Evaluate the existing checkpoint only')
     args = parser.parse_args()
@@ -110,7 +144,7 @@ def main():
     os.makedirs(os.path.join(REPO, 'data', 'outputs'), exist_ok=True)
     staging = os.path.join(REPO, 'data', 'outputs', '_accuracy_gate_cfg')
     os.makedirs(staging, exist_ok=True)
-    config_path = build_gate_config(args, staging)
+    config_path = build_gate_config(args, staging, 'train')
     config = config_utils.parse_yaml_config(config_path)
 
     t0 = time.time()
@@ -122,43 +156,95 @@ def main():
         trainer_lib.train(config, train_dataset)
     train_time = time.time() - t0
 
-    # Evaluate the final checkpoint on the same split (overfit check:
-    # pipeline consistency, not generalization)
-    eval_dataset_config = config.dataset_config
-    eval_dataset = KittiDataset(eval_dataset_config, 'val')
+    # ---- Phase 1: overfit consistency on the train split ----
+    eval_dataset = KittiDataset(config.dataset_config, 'val')
     evaluator = Evaluator(config, eval_dataset, 'val',
                           do_kitti_native_eval=False)
     results = evaluator.run_latest_checkpoints('all')[-1]
     step = results['step']
 
-    # Native AP in the foreground, then parse its transcript
     evaluator.run_kitti_native_eval(step, background=False)
-    results_txt = os.path.join(
-        config.pred_dir, '{}_results_{}.txt'.format(
-            config.config_name, round(evaluator.score_threshold, 3)))
-    aps = parse_results_txt(results_txt)
-    if not aps:
-        raise SystemExit('No AP curves in ' + results_txt)
+    train_aps = read_results(config, evaluator)
+    if not train_aps:
+        raise SystemExit('No train-split AP curves produced')
 
-    ap_3d = aps.get('car_detection_3D', [0, 0, 0])
-    ap_2d = aps.get('car_detection', [0, 0, 0])
+    ap_3d = train_aps.get('car_detection_3D', [0, 0, 0])
+    ap_bev = train_aps.get('car_detection_BEV', [0, 0, 0])
+    ap_2d = train_aps.get('car_detection', [0, 0, 0])
+
+    metrics = results.get('metrics', {})
+    cen_z_err = abs(metrics.get('metric_cen_z_err', float('inf')))
+    chamfer = metrics.get('metric_chamfer', float('inf'))
+
+    checks = {
+        'train_ap_floor': bool(ap_3d[1] >= args.min_ap),
+        'train_ap_agreement': bool(
+            abs(ap_3d[1] - ap_bev[1]) <= args.ap_agreement and
+            abs(ap_3d[1] - ap_2d[1]) <= args.ap_agreement),
+        'metric_cen_z_ceiling': bool(cen_z_err <= args.max_cen_z_err),
+        'metric_chamfer_ceiling': bool(chamfer <= args.max_chamfer),
+    }
 
     gate = {
-        'metric': 'fixture_overfit_car_ap',
-        'split': args.split,
+        'metric': 'fixture_accuracy_gate',
         'steps': args.steps,
         'step_evaluated': step,
         'train_seconds': round(train_time, 1),
-        'ap_image': ap_2d,
-        'ap_bev': aps.get('car_detection_BEV', [0, 0, 0]),
-        'ap_3d': ap_3d,
-        'aos': aps.get('car_orientation', [0, 0, 0]),
-        'iou_regime': '0.7/0.5/0.5',
-        'losses': results.get('losses', {}),
-        'metrics': results.get('metrics', {}),
-        'min_ap_gate': args.min_ap,
-        'pass': bool(ap_3d[1] >= args.min_ap),
+        'train': {
+            'split': 'train',
+            'ap_image': ap_2d,
+            'ap_bev': ap_bev,
+            'ap_3d': ap_3d,
+            'aos': train_aps.get('car_orientation', [0, 0, 0]),
+            'iou_regime': '0.7/0.5/0.5',
+            'losses': results.get('losses', {}),
+            'metrics': metrics,
+        },
+        'gates': {
+            'min_ap': args.min_ap,
+            'ap_agreement': args.ap_agreement,
+            'max_cen_z_err': args.max_cen_z_err,
+            'max_chamfer': args.max_chamfer,
+            'min_val_ap': args.min_val_ap,
+        },
     }
+
+    # ---- Phase 2: held-out val split through the real val path ----
+    if args.min_val_ap >= 0:
+        val_config = config_utils.parse_yaml_config(
+            build_gate_config(args, staging, 'val', suffix='_val'))
+        # Same experiment/checkpoints: the config name must match the
+        # training run's; only data_split differs.
+        val_dataset = KittiDataset(val_config.dataset_config, 'val')
+        val_eval = Evaluator(val_config, val_dataset, 'val',
+                             do_kitti_native_eval=False)
+        val_results = val_eval.run_latest_checkpoints([step])[-1]
+        val_eval.run_kitti_native_eval(step, background=False)
+        val_aps = read_results(val_config, val_eval)
+        val_aps_low = read_results(val_config, val_eval, low_iou=True)
+
+        val_ap_3d_low = val_aps_low.get('car_detection_3D', [0, 0, 0])
+        checks['val_ap_nonzero'] = bool(
+            val_ap_3d_low[1] > args.min_val_ap)
+
+        gate['val'] = {
+            'split': 'val',
+            'num_samples': val_results.get('num_samples'),
+            'ap_image': val_aps.get('car_detection', [0, 0, 0]),
+            'ap_bev': val_aps.get('car_detection_BEV', [0, 0, 0]),
+            'ap_3d': val_aps.get('car_detection_3D', [0, 0, 0]),
+            'iou_regime': '0.7/0.5/0.5',
+            'ap_image_low': val_aps_low.get('car_detection', [0, 0, 0]),
+            'ap_bev_low': val_aps_low.get(
+                'car_detection_BEV', [0, 0, 0]),
+            'ap_3d_low': val_ap_3d_low,
+            'low_iou_regime': '0.5/0.25/0.25',
+            'losses': val_results.get('losses', {}),
+            'metrics': val_results.get('metrics', {}),
+        }
+
+    gate['checks'] = checks
+    gate['pass'] = bool(all(checks.values()))
 
     out_path = args.out or os.path.join(REPO, 'ACCURACY.json')
     with open(out_path, 'w') as f:
@@ -166,10 +252,11 @@ def main():
     print(json.dumps(gate))
 
     if not gate['pass']:
-        raise SystemExit(
-            'ACCURACY GATE FAILED: AP_3D moderate {:.2f} < {:.2f}'.format(
-                ap_3d[1], args.min_ap))
-    print('ACCURACY GATE PASSED: AP_3D (E/M/H) = {}'.format(ap_3d))
+        failed = [k for k, v in checks.items() if not v]
+        raise SystemExit('ACCURACY GATE FAILED: ' + ', '.join(failed))
+    print('ACCURACY GATE PASSED: train AP_3D (E/M/H) = {}; '
+          'val AP_3D low = {}'.format(
+              ap_3d, gate.get('val', {}).get('ap_3d_low')))
 
 
 if __name__ == '__main__':
