@@ -277,7 +277,10 @@ def bench_e2e():
     dataset_config = config.dataset_config
     dataset_config.dataset_dir = FIXTURE
     dataset_config.mscnn_dir = os.path.join(FIXTURE, 'mscnn')
-    dataset = KittiDataset(dataset_config, 'val')
+    # Inference (test) mode on the val split: exactly what
+    # run_inference drives in production — MSCNN detections + image +
+    # calib only, no GT/depth/instance reads on the host
+    dataset = KittiDataset(dataset_config, 'test')
 
     net = monopsr.create_net(config.model_config, dataset_config)[0]
 
@@ -326,7 +329,7 @@ def bench_e2e():
                     bytes_stats['frames_down'] += 1
                 t0 = time.time()
                 pred_dict = predictions.format_predictions(
-                    cfg, outputs, sample, dataset, 'val',
+                    cfg, outputs, sample, dataset, 'test',
                     post_process_cen_x=True)
                 note('format', time.time() - t0)
                 t0 = time.time()

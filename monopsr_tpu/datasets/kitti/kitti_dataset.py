@@ -241,7 +241,7 @@ class KittiDataset:
             if bgr_image is None:
                 raise FileNotFoundError(
                     'Image not found: ' + self.get_rgb_image_path(sample_name))
-            rgb_image = np.ascontiguousarray(bgr_image[..., ::-1])
+            rgb_image = cv2.cvtColor(bgr_image, cv2.COLOR_BGR2RGB)
             image_shape = rgb_image.shape[0:2]
             image_input = rgb_image
 

