@@ -218,15 +218,17 @@ def bench_batched(batch=8):
     return rate * batch, flops_frame
 
 
-def bench_train_step(n_iters=10):
+def bench_train_step(n_iters=10, n_samples=1):
     """Full-scale train step (GT assembly + fwd + bwd + update, one
-    jitted program, device-resident batch): per-step ms + FLOPs.
+    jitted program, device-resident batch of n_samples images): per-
+    step ms + FLOPs.
 
     Returns:
         (step_ms, flops_per_step)
     """
     _, cfg = graft._flagship_config()
-    train_step, state, batch = graft.build_train_setup(cfg, n_samples=1)
+    train_step, state, batch = graft.build_train_setup(
+        cfg, n_samples=n_samples)
     dev_batch = jax.device_put(batch)
 
     flops = _compiled_flops(train_step, state, dev_batch)
@@ -432,6 +434,18 @@ def main():
     d2h = measure_d2h_mbps()
     fwd_flops = forward_flops()
     train_ms, train_flops = bench_train_step()
+    # Per-device image batching curve (train_config.batch_size):
+    # steps/s and images/s per batch width on one chip
+    train_batch_curve = {}
+    for bs in (2, 4):
+        try:
+            ms_b, _ = bench_train_step(n_iters=6, n_samples=bs)
+            train_batch_curve[str(bs)] = {
+                'step_ms': round(ms_b, 2),
+                'images_per_sec': round(bs * 1000.0 / ms_b, 2),
+            }
+        except Exception as exc:
+            train_batch_curve[str(bs)] = {'error': str(exc)[:120]}
 
     peak = V5E_BF16_PEAK_FLOPS
     transport_ceiling = d2h / max(up_mb + down_mb, 1e-9)
@@ -465,6 +479,10 @@ def main():
             'batched8_mfu_pct': round(
                 100.0 * batched_flops_frame * batched_fps / peak, 2),
             'train_step_ms': round(train_ms, 2),
+            'train_batch_curve': {
+                '1': {'step_ms': round(train_ms, 2),
+                      'images_per_sec': round(1000.0 / train_ms, 2)},
+                **train_batch_curve},
             'train_gflops_per_step': round(train_flops / 1e9, 2),
             'train_mfu_pct': round(
                 100.0 * train_flops / (train_ms / 1000.0) / peak, 2),
