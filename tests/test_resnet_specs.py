@@ -75,3 +75,61 @@ def test_constructed_param_count(name, num_blocks):
         assert len(units) == num_units, (
             f'{name} block{block_idx + 1}: {len(units)} units constructed, '
             f'spec says {num_units}')
+
+
+def test_space_to_batch_atrous_conv_matches_dilated():
+    """The space-to-batch path of _conv_same must be numerically
+    identical to the plain dilated SAME conv, including non-divisible
+    spatial sizes (pad+crop edges)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monopsr_tpu.models import resnet as resnet_lib
+
+    class ConvSame(nn.Module):
+        rate: int
+
+        @nn.compact
+        def __call__(self, x):
+            return resnet_lib._conv_same(
+                x, 8, 3, 1, self.rate, jnp.float32, 'conv')
+
+    rng = np.random.RandomState(0)
+    for rate, shape in ((2, (2, 13, 17, 5)), (3, (1, 9, 16, 4)),
+                        (4, (2, 12, 12, 6)), (4, (1, 10, 41, 3))):
+        x = rng.randn(*shape).astype(np.float32)
+        module = ConvSame(rate=rate)
+        variables = module.init(jax.random.PRNGKey(0), x)
+        got = module.apply(variables, x)
+
+        kernel = variables['params']['conv']['kernel']
+        want = jax.lax.conv_general_dilated(
+            x, np.asarray(kernel), (1, 1), 'SAME',
+            rhs_dilation=(rate, rate),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg='rate %d shape %r' % (rate, shape))
+
+
+def test_phase_space_blocks_match_per_conv_dilation():
+    """Block-level space-to-batch execution of atrous runs must equal
+    the per-conv path on the same parameters (float32, both tower
+    input shapes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    for shape in ((2, 48, 48, 3), (1, 64, 96, 3)):
+        x = rng.randn(*shape).astype(np.float32)
+        phase = ResNetV1(spec=RESNET_SPECS['resnet_tiny'], output_stride=4,
+                         dtype=jnp.float32, use_phase_space=True)
+        flat = ResNetV1(spec=RESNET_SPECS['resnet_tiny'], output_stride=4,
+                        dtype=jnp.float32, use_phase_space=False)
+        variables = phase.init(jax.random.PRNGKey(0), x)
+        got = phase.apply(variables, x)
+        want = flat.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=str(shape))
