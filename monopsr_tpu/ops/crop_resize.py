@@ -191,24 +191,32 @@ def resize_bilinear_align_corners(images, out_size):
     n, height, width, _ = images.shape
 
     # align_corners=True: endpoints map exactly; same sampling grid for
-    # every image, so one shared coordinate set.
-    in_y = jnp.linspace(0.0, height - 1, out_h)[None, :]
-    in_x = jnp.linspace(0.0, width - 1, out_w)[None, :]
+    # every image. The grid is shared and constant, so the resize is two
+    # dense matmuls with constant (out, in) bilinear weight matrices
+    # (2 nonzeros per row) — MXU work instead of 4 corner gathers,
+    # whose VJP is a transposed matmul instead of a scatter-add.
+    def weights(out_n, in_n):
+        coords = jnp.linspace(0.0, in_n - 1, out_n)
+        i0 = jnp.floor(coords).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, in_n - 1)
+        frac = (coords - jnp.floor(coords)).astype(jnp.float32)
+        ar = jnp.arange(in_n, dtype=jnp.int32)
+        return ((ar[None, :] == i0[:, None]) * (1.0 - frac[:, None]) +
+                (ar[None, :] == i1[:, None]) * frac[:, None])
 
-    y0 = jnp.floor(in_y)
-    x0 = jnp.floor(in_x)
-    wy = (in_y - y0)[0][None, :, None, None]
-    wx = (in_x - x0)[0][None, None, :, None]
+    dt = images.dtype if images.dtype == jnp.bfloat16 else jnp.float32
+    images = images.astype(dt)
+    sel_y = weights(out_h, height).astype(dt)
+    sel_x = weights(out_w, width).astype(dt)
 
-    y0i = y0.astype(jnp.int32)[0]
-    x0i = x0.astype(jnp.int32)[0]
-    y1i = jnp.minimum(y0i + 1, height - 1)
-    x1i = jnp.minimum(x0i + 1, width - 1)
-
-    tl = images[:, y0i][:, :, x0i]
-    tr = images[:, y0i][:, :, x1i]
-    bl = images[:, y1i][:, :, x0i]
-    br = images[:, y1i][:, :, x1i]
-
-    return (tl * (1 - wy) * (1 - wx) + tr * (1 - wy) * wx +
-            bl * wy * (1 - wx) + br * wy * wx)
+    if width >= height:
+        tmp = jnp.einsum('px,nyxc->npyc', sel_x, images,
+                         preferred_element_type=jnp.float32).astype(dt)
+        out = jnp.einsum('oy,npyc->nopc', sel_y, tmp,
+                         preferred_element_type=jnp.float32)
+    else:
+        tmp = jnp.einsum('oy,nyxc->noxc', sel_y, images,
+                         preferred_element_type=jnp.float32).astype(dt)
+        out = jnp.einsum('px,noxc->nopc', sel_x, tmp,
+                         preferred_element_type=jnp.float32)
+    return out.astype(dt)

@@ -111,3 +111,59 @@ class TestResizeBilinearAlignCorners:
             image, (4, 31)))
         want = np.linspace(0, 1, 31)
         np.testing.assert_allclose(out[0, 0, :, 0], want, atol=1e-6)
+
+    @staticmethod
+    def _np_resize_align_corners(images, out_size):
+        """Gather-formulation oracle: src = i * (in-1) / (out-1)."""
+        n, h, w, c = images.shape
+        oh, ow = out_size
+        ys = np.linspace(0.0, h - 1, oh)
+        xs = np.linspace(0.0, w - 1, ow)
+        out = np.zeros((n, oh, ow, c), np.float64)
+        for i, y in enumerate(ys):
+            y0 = int(np.floor(y))
+            y1 = min(y0 + 1, h - 1)
+            wy = y - y0
+            for j, x in enumerate(xs):
+                x0 = int(np.floor(x))
+                x1 = min(x0 + 1, w - 1)
+                wx = x - x0
+                out[:, i, j] = (images[:, y0, x0] * (1 - wy) * (1 - wx) +
+                                images[:, y0, x1] * (1 - wy) * wx +
+                                images[:, y1, x0] * wy * (1 - wx) +
+                                images[:, y1, x1] * wy * wx)
+        return out
+
+    def test_downsample_matches_gather_oracle(self):
+        # The production full-image path is a 2x downsample; the matmul
+        # formulation must match the 4-corner-gather formula there too.
+        images = RNG.uniform(0, 255, (2, 10, 26, 3)).astype(np.float32)
+        for out_size in [(5, 13), (4, 9), (21, 7)]:
+            got = np.asarray(crop_resize.resize_bilinear_align_corners(
+                images, out_size))
+            want = self._np_resize_align_corners(images, out_size)
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+    def test_bf16_dtype_and_accuracy(self):
+        import jax.numpy as jnp
+        images = RNG.uniform(0, 1, (1, 8, 12, 2)).astype(np.float32)
+        out = crop_resize.resize_bilinear_align_corners(
+            jnp.asarray(images, jnp.bfloat16), (5, 7))
+        assert out.dtype == jnp.bfloat16
+        want = self._np_resize_align_corners(images, (5, 7))
+        np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                                   rtol=0.02, atol=0.02)
+
+    def test_grad_is_transposed_weights(self):
+        # VJP of the resize is the transposed weight matmuls; the grad of
+        # sum(out) wrt the input must equal the weight-matrix column sums.
+        import jax
+        import jax.numpy as jnp
+        images = jnp.asarray(
+            RNG.uniform(0, 1, (1, 6, 9, 1)).astype(np.float32))
+        g = jax.grad(lambda im: jnp.sum(
+            crop_resize.resize_bilinear_align_corners(im, (11, 5))))(images)
+        # Each output pixel distributes weight 1 over its source corners,
+        # so the grads sum to out_h*out_w per (image, channel).
+        np.testing.assert_allclose(float(jnp.sum(g)), 11 * 5, rtol=1e-5)
+        assert np.all(np.asarray(g) >= -1e-6)
