@@ -43,8 +43,12 @@ def main():
     parser.add_argument('--repeated', action='store_true', default=False,
                         help='Poll for new checkpoints')
     parser.add_argument('--no_kitti_native_eval', action='store_true')
-    parser.add_argument('--device', type=str, default=None)
+    parser.add_argument('--device', type=str, default=None,
+                        help="Backend: 'cpu' or 'tpu'")
     args = parser.parse_args()
+
+    from monopsr_tpu.utils import device_select
+    device_select.apply(args.device)
 
     config = config_utils.parse_yaml_config(args.config_path)
     evaluate(config, args.data_split, repeated=args.repeated,

@@ -55,8 +55,12 @@ def main():
                         default=None,
                         help='Override the per-class MSCNN 2D score '
                              'thresholds (ref: run_inference.py:48-53)')
-    parser.add_argument('--device', type=str, default=None)
+    parser.add_argument('--device', type=str, default=None,
+                        help="Backend: 'cpu' or 'tpu'")
     args = parser.parse_args()
+
+    from monopsr_tpu.utils import device_select
+    device_select.apply(args.device)
 
     if args.checkpoint_name:
         import monopsr_tpu

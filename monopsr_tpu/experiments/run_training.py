@@ -40,8 +40,12 @@ def main():
     parser.add_argument('--data_split', type=str, default=None,
                         help="Override the dataset split (e.g. 'train')")
     parser.add_argument('--device', type=str, default=None,
-                        help='Unused on TPU (kept for CLI parity)')
+                        help="Backend: 'cpu' or 'tpu' (default: JAX's "
+                             'own preference — TPU when present)')
     args = parser.parse_args()
+
+    from monopsr_tpu.utils import device_select
+    device_select.apply(args.device)
 
     config = config_utils.parse_yaml_config(args.config_path)
     config_utils.copy_config_into_experiment_dir(args.config_path, config)
