@@ -339,16 +339,17 @@ def bench_e2e():
                     pred_dict, sample[C.SAMPLE_NAME], output_dirs)
                 note('write', time.time() - t0)
 
+        # on_pull_time reports (elapsed / n_groups, n_groups): undo the
+        # division so the stage table carries the true wall seconds
         pipe = BatchedPullPipeline(
             process_group, pull_batch=2,
             on_pull_time=lambda dt, n: note(
-                'pull', dt, n * EVAL_BATCH))
+                'pull', dt * n, n * EVAL_BATCH))
         group_s, group_d = [], []
 
         def dispatch():
-            needed = max(int(s[C.SAMPLE_NUM_OBJS]) for s in group_s)
-            bucket = next((b for b in SLOT_BUCKETS if b >= needed),
-                          cfg.num_boxes)
+            from monopsr_tpu.eval.pipeline import slot_bucket
+            bucket = slot_bucket(group_s, SLOT_BUCKETS, cfg.num_boxes)
             padded = group_d + [group_d[-1]] * (EVAL_BATCH - len(group_d))
             t0 = time.time()
             batch = trainer_lib.stack_samples(padded)

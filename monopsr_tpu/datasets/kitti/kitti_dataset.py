@@ -15,6 +15,7 @@ TPU-driven representation changes:
 
 import fnmatch
 import os
+import zlib
 
 import cv2
 import numpy as np
@@ -115,13 +116,16 @@ class KittiDataset:
         self.depth_pad_shape = tuple(
             dataset_config.get('depth_pad_shape') or DEPTH_PAD_SHAPE)
 
-        # Seeded per-dataset RNG: drives shuffle, oversample, and the
-        # augmentation draws (all consumed under the loader's dataset
-        # lock, so a fixed dataset_config.seed reproduces the sample
-        # stream; the reference uses the global unseeded np.random).
+        # Seeded reproducibility (the reference uses the global
+        # unseeded np.random). With dataset_config.seed set, the
+        # per-sample draws (oversample, augmentation) come from an RNG
+        # derived from (seed, sample name, epoch) — independent of how
+        # many loader/producer threads interleave get_sample_dict
+        # calls — while the shared stream RNG below drives the
+        # (single-threaded) epoch shuffle.
         seed = dataset_config.get('seed')
-        self._rng = np.random.RandomState(
-            None if seed is None else int(seed))
+        self._seed = None if seed is None else int(seed)
+        self._rng = np.random.RandomState(self._seed)
 
         # Batch pointers
         self._index_in_epoch = 0
@@ -209,10 +213,25 @@ class KittiDataset:
 
     # -- sample assembly ------------------------------------------------------
 
-    def _oversample_indices(self, num_objs):
+    def _sample_rng(self, sample_name):
+        """RNG for one sample's draws (oversample, augmentation).
+
+        Seeded datasets derive the state from (seed, sample name,
+        epoch), so the draws are identical regardless of thread
+        interleaving across loader/producer pools; unseeded datasets
+        share one stream (reference behavior: global np.random).
+        """
+        if self._seed is None:
+            return self._rng
+        mix = zlib.crc32(sample_name.encode('utf8'))
+        return np.random.RandomState(
+            (self._seed * 1000003 + mix
+             + 16777619 * self.epochs_completed) % (2 ** 32))
+
+    def _oversample_indices(self, num_objs, rng):
         if num_objs >= self.num_boxes:
             return np.arange(self.num_boxes)
-        extra = self._rng.choice(
+        extra = rng.choice(
             num_objs, self.num_boxes - num_objs, replace=True)
         return np.hstack([np.arange(num_objs), extra])
 
@@ -236,6 +255,7 @@ class KittiDataset:
         sample_dicts = []
         for sample_idx in indices:
             sample_name = self.sample_list[sample_idx].name
+            rng = self._sample_rng(sample_name)
 
             bgr_image = cv2.imread(self.get_rgb_image_path(sample_name))
             if bgr_image is None:
@@ -290,7 +310,7 @@ class KittiDataset:
                     sample_name, self.instance_dir)
 
                 if self.oversample:
-                    osi = self._oversample_indices(num_objs)
+                    osi = self._oversample_indices(num_objs, rng)
                     obj_labels = obj_labels[osi]
                     orig_indices = orig_indices[osi]
                     num_objs = min(num_objs, self.num_boxes)
@@ -299,7 +319,7 @@ class KittiDataset:
                 if self.train_val_test == 'train':
                     if self.aug_config.use_image_aug:
                         image_input = kitti_aug.apply_image_noise(
-                            rgb_image, rng=self._rng)
+                            rgb_image, rng=rng)
 
                     box_jitter_type = self.aug_config.box_jitter_type
                     if box_jitter_type is None:
@@ -311,25 +331,25 @@ class KittiDataset:
                                 + box_jitter_type)
                         obj_labels[num_objs:] = kitti_aug.jitter_obj_boxes_2d(
                             obj_labels[num_objs:], 0.7, image_shape,
-                            rng=self._rng)
+                            rng=rng)
                     elif box_jitter_type == 'oversample_gt':
                         if not self.oversample:
                             raise ValueError(
                                 'Must oversample to use jitter type '
                                 + box_jitter_type)
                         n_extra = self.num_boxes - num_objs
-                        gt_pick = self._rng.choice(
+                        gt_pick = rng.choice(
                             num_kitti_objs, n_extra, replace=True)
                         obj_labels[num_objs:] = kitti_aug.jitter_obj_boxes_2d(
                             kitti_obj_labels[gt_pick], 0.7, image_shape,
-                            rng=self._rng)
+                            rng=rng)
                         # Jittered GT boxes keep their own instance channels
                         kitti_orig = np.nonzero(obj_mask)[0]
                         if len(kitti_orig) >= num_kitti_objs:
                             orig_indices[num_objs:] = kitti_orig[gt_pick]
                     elif box_jitter_type == 'all':
                         obj_labels = kitti_aug.jitter_obj_boxes_2d(
-                            obj_labels, 0.7, image_shape, rng=self._rng)
+                            obj_labels, 0.7, image_shape, rng=rng)
                     else:
                         raise ValueError(
                             'Invalid box_jitter_type: ' + str(box_jitter_type))
@@ -386,7 +406,7 @@ class KittiDataset:
                     sample_dicts.append(None)
                     continue
 
-                osi = self._oversample_indices(num_objs)
+                osi = self._oversample_indices(num_objs, rng)
                 obj_labels = obj_labels[osi]
                 num_objs = min(num_objs, self.num_boxes)
 

@@ -17,6 +17,7 @@ import json
 import multiprocessing
 import os
 import subprocess
+import sys
 import time
 
 import jax
@@ -147,13 +148,8 @@ class Evaluator:
         return jax.jit(eval_step, static_argnums=2)
 
     def _slot_bucket(self, samples):
-        """Smallest configured slot bucket covering every sample's
-        num_objs (buckets bound recompiles: one program per bucket)."""
-        needed = max(int(s[C.SAMPLE_NUM_OBJS]) for s in samples)
-        for bucket in self._slot_buckets:
-            if bucket >= needed:
-                return bucket
-        return self.cfg.num_boxes
+        return pipeline.slot_bucket(samples, self._slot_buckets,
+                                    self.cfg.num_boxes)
 
     # -- checkpoint management ----------------------------------------------
 
@@ -413,6 +409,10 @@ class Evaluator:
                       self.dataset.data_split_dir, 'label_2')),
                   self.dataset.data_split]
 
+        # The scripts' best-effort PR-curve plotting should use this
+        # process's interpreter (hosts without a bare `python` on PATH)
+        env = dict(os.environ, PYTHON_BIN=sys.executable)
+
         procs = []
         for script_name in ('run_eval.sh', 'run_eval_low_iou.sh'):
             args = [os.path.join(self.native_eval_dir, script_name)]
@@ -420,11 +420,11 @@ class Evaluator:
             if background:
                 proc = multiprocessing.Process(
                     target=subprocess.run, args=(args,),
-                    kwargs={'check': False})
+                    kwargs={'check': False, 'env': env})
                 proc.start()
                 procs.append(proc)
             else:
-                subprocess.run(args, check=False)
+                subprocess.run(args, check=False, env=env)
         return procs or None
 
     # -- polling loops ------------------------------------------------------

@@ -14,7 +14,23 @@ Used by eval.evaluator and bench.py so both measure/run the same path.
 import queue as queue_lib
 import threading
 
+from monopsr_tpu import constants as C
 from monopsr_tpu.utils import transfer
+
+
+def slot_bucket(samples, slot_buckets, num_boxes):
+    """Smallest configured slot bucket covering every sample's num_objs.
+
+    Buckets bound recompiles (one program per bucket) while letting
+    sparse frames pull far fewer per-box output bytes than the full
+    num_boxes slots. Shared by the evaluator and bench.py so the bench
+    measures exactly the path the product runs.
+    """
+    needed = max(int(s[C.SAMPLE_NUM_OBJS]) for s in samples)
+    for bucket in slot_buckets:
+        if bucket >= needed:
+            return bucket
+    return num_boxes
 
 
 class BatchedPullPipeline:

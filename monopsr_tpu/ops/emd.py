@@ -236,10 +236,23 @@ _EMD_TILE = 128          # rows of the distance tile computed per step
 _EMD_F32_BUF_LIMIT = 9 * 1024 * 1024
 
 
+# Upper bound on the kernel's resident VMEM: the (n, m) plan scratch
+# (bf16 above the f32 limit) plus the (tile, m) round working set must
+# fit in the ~16 MB/core budget. The production (2304, 2304) case sits
+# at ~14.1 MB (10.6 MB bf16 plan + ~3.5 MB working rows) and is known
+# to fit; (3072, 3072) (18.9 MB plan alone) must fall back to the XLA
+# ladder instead of failing pallas_call.
+_EMD_VMEM_BUDGET = 15 * 1024 * 1024
+
+
 def _pallas_emd_supported(shape1, shape2):
     n, m = shape1[1], shape2[1]
-    return (shape1[2] == 3 and shape2[2] == 3 and
-            n % _EMD_TILE == 0 and m % 128 == 0)
+    if not (shape1[2] == 3 and shape2[2] == 3 and
+            n % _EMD_TILE == 0 and m % 128 == 0):
+        return False
+    plan_bytes = n * m * (4 if n * m * 4 <= _EMD_F32_BUF_LIMIT else 2)
+    working_bytes = min(_EMD_TILE, n) * m * 4 * 3
+    return plan_bytes + working_bytes <= _EMD_VMEM_BUDGET
 
 
 def _emd_fused_kernel(n, m, store_dtype):

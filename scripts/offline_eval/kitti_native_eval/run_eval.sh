@@ -31,4 +31,5 @@ echo "step ${global_step}" | tee -a "${results_out}"
 # does this via gnuplot; we use matplotlib). Best-effort: an eval run
 # without matplotlib still produces the txts.
 # (cwd is eval_script_dir here, so the plotter sits one level up)
-python ../plot_pr_curves.py "${result_dir}" || true
+PYTHON_BIN="${PYTHON_BIN:-$(command -v python3 || command -v python)}"
+"${PYTHON_BIN}" ../plot_pr_curves.py "${result_dir}" || true

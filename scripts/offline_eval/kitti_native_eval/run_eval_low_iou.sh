@@ -22,4 +22,5 @@ echo "step ${global_step}" | tee -a "${results_out}"
 # Render PR-curve figures from the curve txts (matplotlib twin of the
 # reference's gnuplot output); best-effort.
 # (cwd is eval_script_dir here, so the plotter sits one level up)
-python ../plot_pr_curves.py "${result_dir}" || true
+PYTHON_BIN="${PYTHON_BIN:-$(command -v python3 || command -v python)}"
+"${PYTHON_BIN}" ../plot_pr_curves.py "${result_dir}" || true

@@ -211,6 +211,12 @@ class TestEMDPallasKernel:
         assert emd._pallas_emd_supported((1, 256, 3), (1, 128, 3))
         assert not emd._pallas_emd_supported((1, 60, 3), (1, 52, 3))
 
+    def test_gate_rejects_vmem_overflow(self):
+        # (3072, 3072): the bf16 plan alone is 18.9 MB > VMEM; the auto
+        # path must fall back to the XLA ladder, not fail pallas_call.
+        assert not emd._pallas_emd_supported((1, 3072, 3), (1, 3072, 3))
+        assert not emd._pallas_emd_supported((1, 4096, 3), (1, 4096, 3))
+
     @pytest.mark.skipif(jax.default_backend() != 'tpu',
                         reason='real lowering needs TPU')
     def test_production_shape_tpu(self):

@@ -71,3 +71,34 @@ def test_unseeded_default_still_works():
     dataset = KittiDataset(cfg, 'train')
     batch = dataset.next_batch(1, shuffle=True)
     assert len(batch) == 1
+
+
+def test_seeded_draws_are_thread_schedule_independent():
+    """Per-sample draws must not depend on get_sample_dict call order.
+
+    The evaluator's producer pool (and any multi-threaded loader)
+    interleaves get_sample_dict calls; with a seed set, the draws
+    derive from (seed, sample name, epoch), so visiting the samples in
+    any order — as a thread pool effectively does — must reproduce
+    the serial stream exactly.
+    """
+    cfg = make_dataset_config(seed=7)
+    serial = KittiDataset(cfg, 'train')
+    scrambled = KittiDataset(make_dataset_config(seed=7), 'train')
+
+    order = list(range(serial.num_samples))
+    a = [serial.get_sample_dict([i])[0] for i in order]
+    b_items = {i: scrambled.get_sample_dict([i])[0]
+               for i in reversed(order)}
+    b = [b_items[i] for i in order]
+
+    for sa, sb in zip(a, b):
+        if sa is None or sb is None:
+            assert sa is None and sb is None
+            continue
+        assert sa[C.SAMPLE_NAME] == sb[C.SAMPLE_NAME]
+        np.testing.assert_array_equal(sa[C.SAMPLE_LABEL_BOXES_2D],
+                                      sb[C.SAMPLE_LABEL_BOXES_2D])
+        np.testing.assert_array_equal(
+            np.asarray(sa[C.SAMPLE_IMAGE_INPUT]),
+            np.asarray(sb[C.SAMPLE_IMAGE_INPUT]))
