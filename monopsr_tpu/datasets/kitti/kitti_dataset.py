@@ -366,12 +366,10 @@ class KittiDataset:
                     orientation.np_orientation_to_angle_bin(
                         alphas, self.num_alpha_bins, self.alpha_bin_overlap))
 
-                label_viewing_angles_2d = np.asarray(
-                    [obj_utils.get_viewing_angle_box_2d(b, cam_p)
-                     for b in label_boxes_2d], np.float32)
-                label_viewing_angles_3d = np.asarray(
-                    [obj_utils.get_viewing_angle_box_3d(b, cam_p)
-                     for b in label_boxes_3d], np.float32)
+                label_viewing_angles_2d = obj_utils.get_viewing_angles_box_2d(
+                    label_boxes_2d, cam_p).astype(np.float32)
+                label_viewing_angles_3d = obj_utils.get_viewing_angles_box_3d(
+                    label_boxes_3d, cam_p).astype(np.float32)
 
                 label_class_indices = np.asarray(
                     [obj_utils.class_str_to_index(o.type, self.classes)
@@ -414,9 +412,8 @@ class KittiDataset:
                     obj_labels)
                 label_scores = np.asarray(
                     [o.score for o in obj_labels], np.float32)
-                label_viewing_angles_2d = np.asarray(
-                    [obj_utils.get_viewing_angle_box_2d(b, cam_p)
-                     for b in label_boxes_2d], np.float32)
+                label_viewing_angles_2d = obj_utils.get_viewing_angles_box_2d(
+                    label_boxes_2d, cam_p).astype(np.float32)
                 label_class_indices = np.asarray(
                     [obj_utils.class_str_to_index(o.type, self.classes)
                      for o in obj_labels], np.int32)[:, None]

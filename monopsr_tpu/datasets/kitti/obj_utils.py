@@ -282,6 +282,26 @@ def get_viewing_angle_box_3d(box_3d, cam_p=None, version='x_offset'):
     raise ValueError('Invalid version: ' + str(version))
 
 
+def get_viewing_angles_box_2d(boxes_2d, cam_p):
+    """Vectorized get_viewing_angle_box_2d over an (N, 4) box array."""
+    boxes = np.asarray(boxes_2d, np.float64)
+    centre_x = (boxes[:, 1] + boxes[:, 3]) / 2.0
+    return np.arctan2((centre_x - cam_p[0, 2]) / cam_p[0, 0], 1.0)
+
+
+def get_viewing_angles_box_3d(boxes_3d, cam_p=None, version='x_offset'):
+    """Vectorized get_viewing_angle_box_3d over an (N, 7) box_3d array."""
+    boxes = np.asarray(boxes_3d, np.float64)
+    if version == 'cam_0':
+        return np.arctan2(boxes[:, 0], boxes[:, 2])
+    if version == 'x_offset':
+        x_offset = -cam_p[0, 3] / cam_p[0, 0]
+        return np.arctan2(boxes[:, 0] - x_offset, boxes[:, 2])
+    # 'projection' stays per-box (matrix projection + ray per label)
+    return np.asarray([get_viewing_angle_box_3d(b, cam_p, version)
+                       for b in boxes])
+
+
 def get_mean_lwh_and_std_dev(class_str):
     return class_stats.MEAN_LWH[class_str], class_stats.STD_LWH[class_str]
 

@@ -113,6 +113,20 @@ class Evaluator:
         self.native_eval_dir = os.path.join(
             monopsr_tpu.scripts_dir(), 'offline_eval', 'kitti_native_eval')
 
+        self._tb = None
+        self._tensorboard = bool(
+            config.train_config.get('tensorboard', True))
+
+    def _tb_writer(self):
+        """Lazy TB event writer under logdir/<split> (one per run)."""
+        if self._tb is None:
+            from monopsr_tpu.utils import tb_events
+            self._tb = tb_events.TBWriter(
+                os.path.join(self.config.logdir,
+                             self.dataset.data_split),
+                enabled=self._tensorboard)
+        return self._tb
+
     # -- jitted step -------------------------------------------------------
 
     def _build_eval_step(self):
@@ -367,6 +381,29 @@ class Evaluator:
         os.makedirs(self.config.logdir, exist_ok=True)
         with open(log_path, 'a') as f:
             f.write(json.dumps(results, default=float) + '\n')
+
+        # Mirror eval scalars to TensorBoard (the reference writes eval
+        # losses + the metrics_to_show subset as TB scalars under
+        # logdir/<split>, ref: evaluator_utils.py:294-403, :406-434)
+        tb_scalars = {}
+        for name, value in (results.get('losses') or {}).items():
+            tb_scalars['losses/' + name] = value
+        for name, stat in self.metrics_to_show:
+            values = metric_values.get(name)
+            if not values:
+                continue
+            flat = np.concatenate(values)
+            flat = flat[np.isfinite(flat)]
+            if not len(flat):
+                continue
+            fn = {'avg': np.mean, 'std': np.std,
+                  'avg_abs': lambda v: np.mean(np.abs(v)),
+                  'std_abs': lambda v: np.std(np.abs(v))}.get(stat)
+            if fn is not None:
+                tb_scalars['metrics/{}_{}'.format(name, stat)] = (
+                    float(fn(flat)))
+        if tb_scalars:
+            self._tb_writer().scalars(global_step, tb_scalars)
 
         # Convert to KITTI format + native AP eval
         kitti_dir, _ = kitti_writers.save_predictions_box_3d_in_kitti_format(

@@ -221,11 +221,21 @@ class ResNetV1(nn.Module):
                 if phase_rate > 1 and unit_rate != phase_rate:
                     x = from_phase(x, phase_rate)
                     phase_rate = 1
+                # Only enter block-level phase space while the per-phase
+                # spatial map stays >= 8x8: measured on a v5e, tiny
+                # per-phase maps (the 48x48 crop tower's 6x6 / 3x3) lower
+                # badly at large batch (2.06 vs 1.41 ms per 32 crops at
+                # batch 256, scripts/diag_croptower.py) while the
+                # full-image tower's 20x76 / 10x38 phases keep the
+                # 1.5-1.8x win. Small maps fall back to the per-conv
+                # space-to-batch in _conv_same, which scales linearly.
                 if (self.use_phase_space and
                         unit_rate > 1 and phase_rate == 1 and
                         unit_stride == 1 and
                         x.shape[1] % unit_rate == 0 and
-                        x.shape[2] % unit_rate == 0):
+                        x.shape[2] % unit_rate == 0 and
+                        x.shape[1] // unit_rate >= 8 and
+                        x.shape[2] // unit_rate >= 8):
                     x = to_phase(x, unit_rate)
                     phase_rate = unit_rate
 

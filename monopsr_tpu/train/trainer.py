@@ -127,17 +127,30 @@ def make_train_step(net, cfg, loss_config, tx, use_ema, ema_decay):
 
 
 class ScalarLogger:
-    """JSONL scalar sink (the TensorBoard-summaries equivalent)."""
+    """JSONL scalar sink, mirrored to TensorBoard events.
 
-    def __init__(self, logdir, filename='train_log.jsonl'):
+    JSONL is the primary machine-readable log; when `tensorboard` is
+    true (default, matching the reference's always-on summaries,
+    ref: trainer.py:196-205) the same scalars also go to an
+    events.out.tfevents file in `logdir` for `tensorboard --logdir`.
+    """
+
+    def __init__(self, logdir, filename='train_log.jsonl',
+                 tensorboard=True):
+        from monopsr_tpu.utils import tb_events
         os.makedirs(logdir, exist_ok=True)
         self.path = os.path.join(logdir, filename)
+        self.tb = tb_events.TBWriter(logdir, enabled=tensorboard)
 
     def log(self, step, scalars):
         record = {'step': int(step)}
         record.update({k: float(v) for k, v in scalars.items()})
         with open(self.path, 'a') as f:
             f.write(json.dumps(record) + '\n')
+        self.tb.scalars(step, record)
+
+    def close(self):
+        self.tb.close()
 
 
 def create_checkpoint_manager(checkpoint_dir, max_to_keep=10000):
@@ -223,7 +236,9 @@ def train(config, dataset, max_steps=None, log_every=None):
 
     train_step = make_train_step(net, cfg, loss_config, tx,
                                  use_ema, ema_decay)
-    logger = ScalarLogger(config.logdir)
+    logger = ScalarLogger(
+        config.logdir,
+        tensorboard=bool(train_config.get('tensorboard', True)))
 
     max_iterations = max_steps or train_config.max_iterations
     summary_interval = log_every or train_config.summary_interval
@@ -320,6 +335,7 @@ def train(config, dataset, max_steps=None, log_every=None):
             save_checkpoint(manager, state, step)
 
     loader.stop()
+    logger.close()
     manager.wait_until_finished()
     return state
 

@@ -289,3 +289,38 @@ class TestInstanceCrop:
         # Constant-depth instances project exactly onto pixel centres,
         # which sit within one ROI pixel of the expected grid.
         assert np.all(np.abs(err) < 0.1)
+
+
+class TestVectorizedViewingAngles:
+    """Vectorized viewing angles must equal the per-box scalar versions
+    (ref: obj_utils.py:913-985)."""
+
+    def _cam_p(self):
+        return np.array([[721.54, 0.0, 609.56, 44.86],
+                         [0.0, 721.54, 172.85, 0.22],
+                         [0.0, 0.0, 1.0, 0.003]])
+
+    def test_box_2d_matches_scalar(self):
+        from monopsr_tpu.datasets.kitti import obj_utils
+        rng = np.random.RandomState(3)
+        boxes = rng.uniform(0, 1200, (16, 4))
+        cam_p = self._cam_p()
+        vec = obj_utils.get_viewing_angles_box_2d(boxes, cam_p)
+        ref = [obj_utils.get_viewing_angle_box_2d(b, cam_p) for b in boxes]
+        np.testing.assert_allclose(vec, ref, rtol=0, atol=0)
+
+    @pytest.mark.parametrize('version', ['cam_0', 'x_offset', 'projection'])
+    def test_box_3d_matches_scalar(self, version):
+        from monopsr_tpu.datasets.kitti import obj_utils
+        rng = np.random.RandomState(4)
+        boxes = np.column_stack([
+            rng.uniform(-20, 20, 8), rng.uniform(0, 3, 8),
+            rng.uniform(5, 60, 8), rng.uniform(3, 5, 8),
+            rng.uniform(1, 2, 8), rng.uniform(1, 2, 8),
+            rng.uniform(-np.pi, np.pi, 8)])
+        cam_p = self._cam_p()
+        vec = obj_utils.get_viewing_angles_box_3d(boxes, cam_p, version)
+        ref = [obj_utils.get_viewing_angle_box_3d(b, cam_p, version)
+               for b in boxes]
+        np.testing.assert_allclose(vec, np.asarray(ref).ravel(),
+                                   rtol=1e-12, atol=0)
