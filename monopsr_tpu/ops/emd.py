@@ -107,7 +107,10 @@ def _match_cost_grad_single(args):
     ref: tf_approxmatch.cpp:106-160; only one (N, M) matrix is live.)
     """
     xyz1, xyz2, match = args
-    d = jnp.sqrt(jnp.maximum(_sq_dists_single(xyz1, xyz2), 1e-40))
+    # Clamp must stay in the f32 NORMAL range: a subnormal floor (e.g.
+    # 1e-40) is flushed to zero on TPU/FTZ, making w = match / 0 = inf
+    # and 0 * inf = NaN for coincident points.
+    d = jnp.sqrt(jnp.maximum(_sq_dists_single(xyz1, xyz2), 1e-20))
     w = match / d
     row = jnp.sum(w, axis=1, keepdims=True)
     col = jnp.sum(w, axis=0, keepdims=True)
@@ -147,8 +150,24 @@ def _match_cost_bwd(res, g):
 match_cost.defvjp(_match_cost_fwd, _match_cost_bwd)
 
 
-def emd_distance(xyz1, xyz2, batch_chunk=4):
-    """Approximate EMD per batch element: (B,)."""
+def emd_distance(xyz1, xyz2, batch_chunk=4, use_pallas=None):
+    """Approximate EMD per batch element: (B,). Differentiable in both
+    clouds through the (stop-gradient) transport plan.
+
+    use_pallas: None = auto (on TPU at supported shapes the VMEM-
+    resident loss kernel computes the cost and the plan-contracted
+    gradient accumulators in ONE annealing sweep — the (N, M) plan
+    never reaches HBM in either the forward or the backward; see
+    _emd_loss_kernel). Otherwise the XLA ladder materializes the plan
+    (approx_match) and runs the matmul-form VJP through it.
+    """
+    xyz1 = jnp.asarray(xyz1, jnp.float32)
+    xyz2 = jnp.asarray(xyz2, jnp.float32)
+    if use_pallas is None:
+        use_pallas = (jax.devices()[0].platform == 'tpu' and
+                      _pallas_emd_supported(xyz1.shape, xyz2.shape))
+    if use_pallas:
+        return _emd_loss_pallas(xyz1, xyz2)
     match = approx_match(xyz1, xyz2, batch_chunk)
     return match_cost(xyz1, xyz2, match)
 
@@ -388,6 +407,207 @@ def _emd_cost_fused_pallas(xyz1, xyz2, interpret=False):
         interpret=interpret,
     )(x1t, x2t)
     return cost[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU loss kernel: cost + gradient accumulators, one VMEM sweep
+# ---------------------------------------------------------------------------
+
+def _emd_loss_kernel(n, m, store_dtype):
+    """Kernel body computing the EMD cost AND the plan-contracted
+    gradient accumulators in the same annealing sweep.
+
+    The matmul-form VJP (ref: MatchCostGrad, tf_approxmatch.cpp:106-160)
+    needs four contractions of W = match / dist:
+        grow = rowsum(W)         gx2t = (W @ xyz2)^T
+        gcol = colsum(W)         gx1t = (W^T @ xyz1)^T
+    All four are linear in the plan, so each round's contribution is
+    accumulated tile-by-tile as soon as that round's column scaling is
+    known (one round deferred, like the cost kernel's sat_l update),
+    plus one final sweep for the last round. The cumulative (N, M) plan
+    never exists anywhere — not even in VMEM.
+    """
+    from jax.experimental import pallas as pl
+
+    tile = min(_EMD_TILE, n)
+    n_tiles = n // tile
+    factor_l = max(n, m) / n
+    factor_r = max(n, m) / m
+    levels = [0.0 if j == -2 else -(4.0 ** j) for j in _LEVELS]
+
+    def kernel(x1t_ref, x2t_ref, cost_ref, grow_ref, gcol_ref,
+               gx2t_ref, gx1t_ref, w_ref, sat_l_ref, sat_r_ref,
+               col_ref, cdist_ref, scale_ref):
+        sample = pl.program_id(0)
+        x2t = x2t_ref[0]                                   # (3, m)
+        n2 = jnp.sum(x2t * x2t, axis=0, keepdims=True)     # (1, m)
+
+        sat_l_ref[:] = jnp.full((n, 1), factor_l, jnp.float32)
+        sat_r_ref[:] = jnp.full((1, m), factor_r, jnp.float32)
+        cost_ref[sample, 0] = 0.0
+        grow_ref[0] = jnp.zeros((1, n), jnp.float32)
+        gcol_ref[0] = jnp.zeros((1, m), jnp.float32)
+        gx2t_ref[0] = jnp.zeros((3, n), jnp.float32)
+        gx1t_ref[0] = jnp.zeros((3, m), jnp.float32)
+
+        def tile_dist(i):
+            x1 = x1t_ref[0, :, pl.ds(i * tile, tile)]      # (3, tile)
+            n1 = jnp.sum(x1 * x1, axis=0)[:, None]         # (tile, 1)
+            d = n1 + n2 - 2.0 * jax.lax.dot_general(
+                x1, x2t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (tile, m)
+            return x1, jnp.maximum(d, 0.0)
+
+        def accumulate_grads(i, x1, d, w_scaled):
+            """Adds one tile's W-contribution (w_scaled / dist)."""
+            rows = pl.ds(i * tile, tile)
+            # 1e-20 floor: must be a NORMAL f32 (subnormals flush to 0
+            # under FTZ -> rsqrt(0) = inf -> 0 * inf = NaN)
+            wq = w_scaled * jax.lax.rsqrt(jnp.maximum(d, 1e-20))
+            grow_ref[0, :, rows] += jnp.sum(wq, axis=1)[None, :]
+            gcol_ref[0] += jnp.sum(wq, axis=0, keepdims=True)
+            gx2t_ref[0, :, rows] += jax.lax.dot_general(
+                x2t, wq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (3, tile)
+            gx1t_ref[0] += jax.lax.dot_general(
+                x1, wq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (3, m)
+
+        for round_idx, level in enumerate(levels):
+            col_ref[:] = jnp.zeros((1, m), jnp.float32)
+            cdist_ref[:] = jnp.zeros((1, m), jnp.float32)
+            first_round = round_idx == 0
+
+            def pass_a(i, _):
+                rows = pl.ds(i * tile, tile)
+                x1, d = tile_dist(i)
+                sat_l_tile = sat_l_ref[rows, :]            # (tile, 1)
+                if not first_round:
+                    w_prev = w_ref[rows, :].astype(jnp.float32)
+                    w_scaled = w_prev * scale_ref[:]
+                    sat_l_tile = jnp.maximum(
+                        sat_l_tile -
+                        jnp.sum(w_scaled, axis=1, keepdims=True), 0.0)
+                    sat_l_ref[rows, :] = sat_l_tile
+                    accumulate_grads(i, x1, d, w_scaled)
+
+                if level == 0.0:
+                    w = jnp.broadcast_to(sat_r_ref[:], d.shape)
+                else:
+                    w = jnp.exp(level * d) * sat_r_ref[:]
+                row_sum = jnp.sum(w, axis=1, keepdims=True) + 1e-9
+                w = w * (sat_l_tile / row_sum)
+                w_stored = w.astype(store_dtype)
+                w_ref[rows, :] = w_stored
+                wf = w_stored.astype(jnp.float32)
+                col_ref[:] += jnp.sum(wf, axis=0, keepdims=True)
+                cdist_ref[:] += jnp.sum(wf * jnp.sqrt(d), axis=0,
+                                        keepdims=True)
+                return 0
+
+            jax.lax.fori_loop(0, n_tiles, pass_a, 0)
+
+            col_scale = jnp.minimum(
+                sat_r_ref[:] / (col_ref[:] + 1e-9), 1.0)   # (1, m)
+            cost_ref[sample, 0] += jnp.sum(col_scale * cdist_ref[:])
+            sat_r_ref[:] = jnp.maximum(
+                sat_r_ref[:] - col_scale * col_ref[:], 0.0)
+            scale_ref[:] = col_scale
+
+        # Final sweep: the last round's deferred contribution
+        def pass_final(i, _):
+            rows = pl.ds(i * tile, tile)
+            x1, d = tile_dist(i)
+            w_scaled = w_ref[rows, :].astype(jnp.float32) * scale_ref[:]
+            accumulate_grads(i, x1, d, w_scaled)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, pass_final, 0)
+
+    return kernel
+
+
+def _emd_loss_pallas_call(xyz1, xyz2, interpret=False):
+    """(B, N, 3) x (B, M, 3) -> (cost (B,), grow (B, N), gcol (B, M),
+    gx2t (B, 3, N), gx1t (B, 3, M))."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    store_dtype = (jnp.float32 if n * m * 4 <= _EMD_F32_BUF_LIMIT
+                   else jnp.bfloat16)
+    kernel = _emd_loss_kernel(n, m, store_dtype)
+
+    x1t = jnp.transpose(xyz1, (0, 2, 1))
+    x2t = jnp.transpose(xyz2, (0, 2, 1))
+
+    cost, grow, gcol, gx2t, gx1t = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, m), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, m), store_dtype),       # per-round plan
+            pltpu.VMEM((n, 1), jnp.float32),       # sat_l
+            pltpu.VMEM((1, m), jnp.float32),       # sat_r
+            pltpu.VMEM((1, m), jnp.float32),       # col accumulator
+            pltpu.VMEM((1, m), jnp.float32),       # cost-per-col acc
+            pltpu.VMEM((1, m), jnp.float32),       # deferred col_scale
+        ],
+        interpret=interpret,
+    )(x1t, x2t)
+    return (cost[:, 0], grow[:, 0, :], gcol[:, 0, :], gx2t, gx1t)
+
+
+def _emd_loss_pallas_impl(xyz1, xyz2, interpret):
+    return _emd_loss_pallas_call(xyz1, xyz2, interpret)[0]
+
+
+def _emd_loss_fwd(xyz1, xyz2, interpret):
+    cost, grow, gcol, gx2t, gx1t = _emd_loss_pallas_call(
+        xyz1, xyz2, interpret)
+    return cost, (xyz1, xyz2, grow, gcol, gx2t, gx1t)
+
+
+def _emd_loss_bwd(interpret, res, g):
+    xyz1, xyz2, grow, gcol, gx2t, gx1t = res
+    grad1 = xyz1 * grow[..., None] - jnp.transpose(gx2t, (0, 2, 1))
+    grad2 = xyz2 * gcol[..., None] - jnp.transpose(gx1t, (0, 2, 1))
+    return grad1 * g[:, None, None], grad2 * g[:, None, None]
+
+
+_emd_loss_pallas_vjp = jax.custom_vjp(_emd_loss_pallas_impl,
+                                      nondiff_argnums=(2,))
+_emd_loss_pallas_vjp.defvjp(_emd_loss_fwd, _emd_loss_bwd)
+
+
+def _emd_loss_pallas(xyz1, xyz2, interpret=False):
+    """Differentiable EMD via the fused cost+grad kernel: (B,)."""
+    return _emd_loss_pallas_vjp(xyz1, xyz2, interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -229,3 +229,91 @@ class TestEMDPallasKernel:
                                             use_pallas=True))
         # bf16 plan store at this size: ~0.04% observed, 0.5% bound
         np.testing.assert_allclose(got, want, rtol=5e-3)
+
+
+class TestEMDPallasLossPath:
+    """The fused cost+gradient loss kernel (interpret mode on CPU)."""
+
+    def _clouds(self, b=2, n=128, m=128, seed=3):
+        rng = np.random.RandomState(seed)
+        xyz1 = rng.randn(b, n, 3).astype(np.float32)
+        xyz2 = (rng.randn(b, m, 3) * 0.6 + 0.1).astype(np.float32)
+        return xyz1, xyz2
+
+    def test_value_matches_xla_plan_path(self):
+        import jax.numpy as jnp
+        xyz1, xyz2 = self._clouds()
+        want = np.asarray(emd.emd_distance(jnp.asarray(xyz1),
+                                           jnp.asarray(xyz2),
+                                           use_pallas=False))
+        got = np.asarray(emd._emd_loss_pallas(
+            jnp.asarray(xyz1), jnp.asarray(xyz2), interpret=True))
+        np.testing.assert_allclose(got, want, rtol=5e-5)
+
+    def _oracle_w(self, xyz1, xyz2):
+        match = emd.np_approx_match(xyz1[0].astype(np.float64),
+                                    xyz2[0].astype(np.float64))
+        d2 = (((xyz1[0][:, None, :] - xyz2[0][None, :, :]) ** 2)
+              .sum(-1))
+        return match / np.sqrt(np.maximum(d2, 1e-20))
+
+    def test_gradient_accumulators_match_oracle(self):
+        """The kernel's four plan contractions vs exact f64 — this is
+        the direct check of the per-round deferred-scale bookkeeping
+        (assembled gradients add cancellation noise on top)."""
+        import jax.numpy as jnp
+        xyz1, xyz2 = self._clouds(b=1, n=256, m=128, seed=4)
+        _, grow, gcol, gx2t, gx1t = emd._emd_loss_pallas_call(
+            jnp.asarray(xyz1), jnp.asarray(xyz2), interpret=True)
+        w = self._oracle_w(xyz1, xyz2)
+        x1 = xyz1[0].astype(np.float64)
+        x2 = xyz2[0].astype(np.float64)
+        for got, want in (
+                (grow[0], w.sum(1)), (gcol[0], w.sum(0)),
+                (gx2t[0], (w @ x2).T), (gx1t[0], (w.T @ x1).T)):
+            got = np.asarray(got)
+            scale = np.abs(want).max()
+            assert np.abs(got - want).max() / scale < 5e-3
+
+    def test_gradient_envelope_vs_oracle(self):
+        """Assembled gradients vs the f64 oracle. The col_scale =
+        min(., 1) saturation branch makes BOTH f32 paths rounding-
+        discontinuous (the XLA plan path itself reaches ~6e-2 on some
+        seeds), so this pins an envelope, not exactness."""
+        import jax.numpy as jnp
+        dists = []
+        for seed in (0, 1, 4):
+            xyz1, xyz2 = self._clouds(b=1, n=128, m=128, seed=seed)
+
+            def loss_pallas(a, b):
+                return jnp.sum(emd._emd_loss_pallas(a, b,
+                                                    interpret=True))
+
+            g1p, g2p = jax.grad(loss_pallas, argnums=(0, 1))(
+                jnp.asarray(xyz1), jnp.asarray(xyz2))
+            w = self._oracle_w(xyz1, xyz2)
+            x1 = xyz1[0].astype(np.float64)
+            x2 = xyz2[0].astype(np.float64)
+            g1o = x1 * w.sum(1)[:, None] - w @ x2
+            g2o = x2 * w.sum(0)[:, None] - w.T @ x1
+            for gp, go in ((g1p, g1o), (g2p, g2o)):
+                dists.append(
+                    np.abs(np.asarray(gp)[0] - go).max() /
+                    np.abs(go).max())
+        assert max(dists) < 2e-2, dists
+        assert np.mean(dists) < 1e-2, dists
+
+    def test_plan_carries_no_gradient_semantics(self):
+        # emd_distance auto-path on CPU stays XLA; the pallas path is
+        # explicitly requested here. Identical clouds: cost ~ 0 and the
+        # gradient must be finite (the 1e-40 clamp guards dist -> 0).
+        import jax.numpy as jnp
+        rng = np.random.RandomState(6)
+        xyz = rng.randn(1, 128, 3).astype(np.float32)
+
+        def loss(a):
+            return jnp.sum(emd._emd_loss_pallas(
+                a, jnp.asarray(xyz), interpret=True))
+
+        g = np.asarray(jax.grad(loss)(jnp.asarray(xyz)))
+        assert np.all(np.isfinite(g))
