@@ -199,8 +199,10 @@ def bench_batched(batch=8):
     import jax.numpy as jnp
     from monopsr_tpu import constants as C
 
-    batched_forward = jax.jit(
-        lambda v, b: jax.vmap(lambda s: forward(v, s))(b))
+    # Batch-native path: the net folds the image axis into its flat box
+    # axis itself (vmapping the per-sample forward measures ~1.7x
+    # slower on the towers, scripts/diag_forward_bisect.py)
+    batched_forward = jax.jit(forward)
     dev_batch = jax.device_put(batches[0])
 
     flops_frame = _compiled_flops(
@@ -296,11 +298,11 @@ def bench_e2e():
     SLOT_BUCKETS = (8, 16, cfg.num_boxes)
 
     def eval_step_fn(variables, batch, max_slots):
-        return jax.vmap(lambda s: monopsr.pack_outputs_for_host(
-            net.apply(variables,
-                      **monopsr.net_inputs_from_batch(s),
-                      train=False),
-            cfg.num_boxes, max_slots))(batch)
+        outputs = net.apply(
+            variables, **monopsr.net_inputs_from_batch(batch),
+            train=False)
+        return jax.vmap(lambda o: monopsr.pack_outputs_for_host(
+            o, cfg.num_boxes, max_slots))(outputs)
 
     eval_step = jax.jit(eval_step_fn, static_argnums=2)
 

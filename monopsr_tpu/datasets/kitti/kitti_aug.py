@@ -11,6 +11,7 @@ import copy
 import numpy as np
 
 from monopsr_tpu.datasets.kitti import evaluation
+from monopsr_tpu.geometry.orientation import np_wrap_to_pi
 
 
 # ---------------------------------------------------------------------------
@@ -59,6 +60,30 @@ def flip_boxes_3d(boxes_3d, flip_ry=True):
         flipped[:, 6] = _flip_ry(boxes_3d[:, 6])
     flipped[:, 0] = -boxes_3d[:, 0]
     return flipped
+
+
+def flip_obj_labels(obj_labels, image_shape):
+    """Horizontally flips full ObjectLabels (2D box + 3D pose + alpha).
+
+    Mirrors the 2D box about the image width (u' = W - u, matching
+    flip_stereo_calib_p2's projection convention), negates t_x, mirrors
+    ry, and recomputes alpha from the flipped pose per the KITTI
+    definition alpha = ry - arctan2(x, z). A framework extension for
+    flip-augmented training (the reference ships the 3D-only helper,
+    ref: kitti_aug.py:34-57, but never trains with flips).
+    """
+    width = image_shape[1]
+    flipped = []
+    for obj in obj_labels:
+        f = copy.deepcopy(obj)
+        f.x1 = width - obj.x2
+        f.x2 = width - obj.x1
+        f.t = (-obj.t[0], obj.t[1], obj.t[2])
+        f.ry = float(_flip_ry(obj.ry))
+        f.alpha = float(np_wrap_to_pi(
+            f.ry - np.arctan2(f.t[0], f.t[2])))
+        flipped.append(f)
+    return np.asarray(flipped, dtype=object)
 
 
 def flip_ground_plane(ground_plane):

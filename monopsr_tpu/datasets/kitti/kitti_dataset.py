@@ -272,9 +272,24 @@ class KittiDataset:
             instance_image = None
             depth_map = None
 
+            # Horizontal-flip augmentation (train only, opt-in via
+            # aug_config.use_flip_aug): flips the image, calibration,
+            # labels (2D box + 3D pose + alpha), depth map, and instance
+            # image as one consistent mirrored scene. Drawn before any
+            # other per-sample randomness.
+            flip = (self.train_val_test == 'train' and
+                    bool(self.aug_config.get('use_flip_aug', False)) and
+                    rng.rand() < 0.5)
+            if flip:
+                image_input = rgb_image = kitti_aug.flip_image(rgb_image)
+                cam_p = kitti_aug.flip_stereo_calib_p2(cam_p, image_shape)
+
             if self.train_val_test in ('train', 'val'):
                 kitti_obj_labels = obj_utils.read_labels(
                     self.kitti_label_dir, sample_name)
+                if flip:
+                    kitti_obj_labels = kitti_aug.flip_obj_labels(
+                        kitti_obj_labels, image_shape)
 
                 if self.use_mscnn_detections and self.train_val_test == 'val':
                     mscnn_obj_labels = obj_utils.read_labels(
@@ -308,6 +323,8 @@ class KittiDataset:
 
                 instance_image = instance_utils.get_instance_image(
                     sample_name, self.instance_dir)
+                if flip:
+                    instance_image = np.fliplr(instance_image)
 
                 if self.oversample:
                     osi = self._oversample_indices(num_objs, rng)
@@ -385,6 +402,8 @@ class KittiDataset:
 
                 depth_map = obj_utils.get_depth_map(
                     sample_name, self.depth_dir)
+                if flip:
+                    depth_map = np.fliplr(depth_map)
 
                 label_scores = np.asarray(
                     [o.score for o in obj_labels], np.float32)

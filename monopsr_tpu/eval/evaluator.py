@@ -133,31 +133,35 @@ class Evaluator:
         net, cfg, loss_config = self.net, self.cfg, self.loss_config
         compute_losses = self.eval_mode == 'val'
 
-        def eval_one(variables, sample, max_slots):
-            outputs = net.apply(
-                variables, **monopsr.net_inputs_from_batch(sample),
-                train=False)
-            if not compute_losses:
-                return (monopsr.pack_outputs_for_host(
-                    outputs, cfg.num_boxes, max_slots), {}, {})
-            gt = monopsr.build_gt_dict(cfg, sample, outputs)
-            outputs, gt = monopsr.add_global_outputs(
-                cfg, sample, outputs, gt)
-            losses, _ = monopsr.compute_losses(
-                cfg, loss_config, outputs, gt)
-            metrics = monopsr.slice_box_slots(
-                monopsr.compute_metrics(cfg, outputs, gt),
-                cfg.num_boxes, max_slots)
-            return (monopsr.pack_outputs_for_host(
-                outputs, cfg.num_boxes, max_slots), losses, metrics)
-
-        # The image axis is a plain vmap batch axis: eval_batch samples
-        # per dispatch. max_slots is static (one compile per slot
+        # The forward runs the net's batch-native path (the vmapped
+        # alternative measures ~1.7x slower on the towers,
+        # scripts/diag_forward_bisect.py); GT/losses/packing stay
+        # vmapped per sample. max_slots is static (one compile per slot
         # bucket): per-box outputs are truncated on device to the
         # group's bucket so padding slots never cross the link.
         def eval_step(variables, batch, max_slots):
-            return jax.vmap(
-                lambda s: eval_one(variables, s, max_slots))(batch)
+            outputs = net.apply(
+                variables, **monopsr.net_inputs_from_batch(batch),
+                train=False)
+
+            def per_sample(sample, sample_outputs):
+                if not compute_losses:
+                    return (monopsr.pack_outputs_for_host(
+                        sample_outputs, cfg.num_boxes, max_slots),
+                        {}, {})
+                gt = monopsr.build_gt_dict(cfg, sample, sample_outputs)
+                sample_outputs, gt = monopsr.add_global_outputs(
+                    cfg, sample, sample_outputs, gt)
+                losses, _ = monopsr.compute_losses(
+                    cfg, loss_config, sample_outputs, gt)
+                metrics = monopsr.slice_box_slots(
+                    monopsr.compute_metrics(cfg, sample_outputs, gt),
+                    cfg.num_boxes, max_slots)
+                return (monopsr.pack_outputs_for_host(
+                    sample_outputs, cfg.num_boxes, max_slots),
+                    losses, metrics)
+
+            return jax.vmap(per_sample)(batch, outputs)
 
         return jax.jit(eval_step, static_argnums=2)
 

@@ -6,13 +6,18 @@ encoders (48x48 RGB crops per box, resized full image), per-box crop of
 the full-image features, concat, 1x1 squash conv + max pool for box
 features, and a 2-stage resize+conv decoder for 48x48 map features.
 
-TPU notes: the per-box full-image feature crop is one batched gather
-(ops.crop_resize), both towers run in bfloat16, and the crop tower sees
-the box axis as its batch axis (32-way batch on the MXU).
+TPU notes: the module is BATCH-NATIVE — the crop tower and everything
+per-box runs on one flat (B*N) axis, and the full-image tower on a true
+(B,) image batch. Running the multi-image serving/training paths through
+`jax.vmap` instead costs ~1.7x on the towers (the vmapped phase-space
+reshapes and conv batching rules lower poorly on TPU; measured in
+scripts/diag_forward_bisect.py), which is why the batch axis is folded
+here rather than mapped.
 """
 
-import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import flax.linen as nn
 
 from monopsr_tpu.models.resnet import RESNET_SPECS, ResNetV1
 from monopsr_tpu.ops import crop_resize
@@ -48,9 +53,12 @@ class MapDecoder(nn.Module):
 class Resnet101_4xSquash(nn.Module):
     """Two-tower encoder producing map features and box-3d features.
 
+    Batch-native: `rgb_crops` carries all images' crops on one flat
+    (B*N) axis; `full_imgs` is a true (B, H, W, 3) batch.
+
     Returns:
-        features_for_map: (N, 48, 48, 128)
-        features_for_box_3d: (N, 6, 6, 512)
+        features_for_map: (B*N, 48, 48, 128)
+        features_for_box_3d: (B*N, 6, 6, 512)
     """
     map_roi_size: tuple = (48, 48)
     output_stride: int = 4
@@ -58,28 +66,32 @@ class Resnet101_4xSquash(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, rgb_crops, full_img, boxes_2d_norm, train):
+    def __call__(self, rgb_crops, full_imgs, boxes_2d_norm, train):
         """
         Args:
-            rgb_crops: (N, 48, 48, 3) preprocessed per-box crops.
-            full_img: (1, H, W, 3) preprocessed resized full image.
-            boxes_2d_norm: (N, 4) normalized boxes for feature cropping.
+            rgb_crops: (B*N, 48, 48, 3) preprocessed per-box crops.
+            full_imgs: (B, H, W, 3) preprocessed resized full images.
+            boxes_2d_norm: (B, N, 4) normalized boxes for feature crops.
             train: training mode (affects decoder BN only).
         """
         spec = RESNET_SPECS[self.resnet]
+        b, n = boxes_2d_norm.shape[0], boxes_2d_norm.shape[1]
 
         crop_feats = ResNetV1(
             spec=spec, output_stride=self.output_stride, dtype=self.dtype,
-            name='tower_crop')(rgb_crops)            # (N, 12, 12, 1024)
+            name='tower_crop')(rgb_crops)            # (B*N, 12, 12, 1024)
         full_feats = ResNetV1(
             spec=spec, output_stride=self.output_stride, dtype=self.dtype,
-            name='tower_full')(full_img)             # (1, H/4, W/4, 1024)
+            name='tower_full')(full_imgs)            # (B, H/4, W/4, 1024)
 
         # Per-box crop of the full-image features: crop_and_resize to
         # half the map ROI, then 2x2 max pool (ref: net_builder.py:54-60)
         half = (self.map_roi_size[0] // 2, self.map_roi_size[1] // 2)
-        full_crops = crop_resize.crop_and_resize_bilinear(
-            full_feats[0], boxes_2d_norm.astype(jnp.float32), half)
+        full_crops = jax.vmap(
+            crop_resize.crop_and_resize_bilinear,
+            in_axes=(0, 0, None))(
+                full_feats, boxes_2d_norm.astype(jnp.float32), half)
+        full_crops = full_crops.reshape((b * n,) + full_crops.shape[2:])
         full_crops = nn.max_pool(full_crops, (2, 2), strides=(2, 2))
 
         concat = jnp.concatenate(

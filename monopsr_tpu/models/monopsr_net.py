@@ -123,30 +123,39 @@ def _appended_norm_mode(value):
 def _box_feature_concat(boxes_2d, view_angs, class_indices, cam_p,
                         image_shape, num_classes):
     """Shared normalized box/camera feature block for the FC trunks
-    (ref: monopsr_output_builder.py:142-180, 226-248)."""
-    cu, cv = cam_p[0, 2], cam_p[1, 2]
-    box_ij = boxes_2d - jnp.stack([cv, cu, cv, cu])
+    (ref: monopsr_output_builder.py:142-180, 226-248).
+
+    Batch-native: boxes_2d (B, N, 4), view_angs (B, N, 1),
+    class_indices (B, N, 1), cam_p (B, 3, 4). Returns flat (B*N, F)
+    feature blocks.
+    """
+    b, n = boxes_2d.shape[0], boxes_2d.shape[1]
+    cu = cam_p[:, 0, 2][:, None, None]
+    cv = cam_p[:, 1, 2][:, None, None]
+    box_ij = boxes_2d - jnp.concatenate(
+        [cv, cu, cv, cu], axis=-1)                       # (B, N, 4)
     half = jnp.asarray([image_shape[0] / 2.0, image_shape[1] / 2.0,
                         image_shape[0] / 2.0, image_shape[1] / 2.0])
-    box_ij_norm = box_ij / half
+    box_ij_norm = (box_ij / half).reshape(b * n, 4)
 
-    box_h_norm = ((boxes_2d[:, 2] - boxes_2d[:, 0]) /
-                  image_shape[0])[:, None]
+    box_h_norm = ((boxes_2d[:, :, 2] - boxes_2d[:, :, 0]) /
+                  image_shape[0]).reshape(b * n, 1)
 
     # Class indices are 1-based (0 = background). one_hot with the raw
     # index maps out-of-range (idx == num_classes) to all-zeros — the
     # reference's exact behavior (monopsr_output_builder.py:158-160),
     # including the all-zero embedding for single-class runs.
     class_one_hot = jax.nn.one_hot(
-        jnp.squeeze(class_indices, axis=-1), num_classes)
+        class_indices.reshape(b * n), num_classes)
 
-    cam_norm = (cam_p.reshape(1, 12) /
+    cam_norm = (cam_p.reshape(b, 12) /
                 jnp.asarray([1000.0, 1.0, 1000.0, 100.0,
                              1.0, 1000.0, 1000.0, 1.0,
                              1.0, 1.0, 1.0, 1.0]))
-    cam_tiled = jnp.tile(cam_norm, (boxes_2d.shape[0], 1))
+    cam_tiled = jnp.repeat(cam_norm, n, axis=0)          # (B*N, 12)
 
-    return [box_ij_norm, box_h_norm, view_angs, class_one_hot, cam_tiled]
+    return [box_ij_norm, box_h_norm, view_angs.reshape(b * n, 1),
+            class_one_hot, cam_tiled]
 
 
 class FCTrunk(nn.Module):
@@ -181,7 +190,10 @@ class MonoPSRNet(nn.Module):
         """
         Args:
             image: (H_in, W_in, 3) RGB image already resized to
-                image_input_shape (raw 0-255 values; mean sub here).
+                image_input_shape (raw 0-255 values; mean sub here) —
+                or (B, H_in, W_in, 3) for the batch-native multi-image
+                path (every other arg then carries a leading B axis and
+                outputs are (B, N, ...)).
             boxes_2d: (N, 4) [y1, x1, y2, x2] original-pixel boxes.
             boxes_2d_norm: (N, 4) boxes normalized by the original image
                 shape.
@@ -199,10 +211,40 @@ class MonoPSRNet(nn.Module):
 
         Returns:
             dict of outputs keyed by monopsr_tpu.constants KEY_*.
+
+        TPU note: multi-image batches fold into one flat (B*N) box axis
+        for the crop tower, FC trunks, and heads, and a true (B,) batch
+        for the full-image tower — NOT jax.vmap, whose batched
+        phase-space reshapes and conv batching rules measure ~1.7x
+        slower on the towers (scripts/diag_forward_bisect.py).
         """
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' \
             else jnp.float32
+
+        batched = image.ndim == 4
+        if not batched:
+            image = image[None]
+            boxes_2d = boxes_2d[None]
+            boxes_2d_norm = boxes_2d_norm[None]
+            view_angs = view_angs[None]
+            class_indices = class_indices[None]
+            mean_lwh = mean_lwh[None]
+            prop_cen_z_offsets = prop_cen_z_offsets[None]
+            cen_y_offsets = cen_y_offsets[None]
+            cam_p = cam_p[None]
+            if gt_inputs is not None:
+                gt_inputs = jax.tree.map(lambda x: x[None], gt_inputs)
+
+        b, n = boxes_2d.shape[0], boxes_2d.shape[1]
+
+        def flat(x):
+            return x.reshape((b * n,) + x.shape[2:])
+
+        # Per-row (B*N,) camera scalars for the per-box geometry
+        f_row = jnp.repeat(cam_p[:, 0, 0], n)
+        cv_row = jnp.repeat(cam_p[:, 1, 2], n)
+        x_offset_row = jnp.repeat(-cam_p[:, 0, 3] / cam_p[:, 0, 0], n)
 
         # Preprocess: mean subtraction (ref: img_preprocessor.py:12-35)
         means = (class_stats.KITTI_CHANNEL_MEANS
@@ -211,18 +253,35 @@ class MonoPSRNet(nn.Module):
         img = image.astype(jnp.float32) - jnp.asarray(means)
 
         # Per-box RGB crops (ref: monopsr_model.py:222-226)
-        rgb_crops = crop_resize.crop_and_resize_bilinear(
-            img, boxes_2d_norm, cfg.img_roi_size)
+        rgb_crops = jax.vmap(
+            crop_resize.crop_and_resize_bilinear,
+            in_axes=(0, 0, None))(img, boxes_2d_norm, cfg.img_roi_size)
+        rgb_crops = flat(rgb_crops)                    # (B*N, 48, 48, 3)
 
-        # Resized full image (ref: monopsr_model.py:228-233)
-        full_img = crop_resize.resize_bilinear_align_corners(
-            img[None], cfg.resized_full_img_shape)
+        # Resized full images (ref: monopsr_model.py:228-233)
+        full_imgs = crop_resize.resize_bilinear_align_corners(
+            img, cfg.resized_full_img_shape)
 
         features_for_map, features_for_box_3d = Resnet101_4xSquash(
             map_roi_size=cfg.map_roi_size,
             output_stride=cfg.output_stride,
             resnet=cfg.resnet, dtype=dtype, name='backbone')(
-                rgb_crops, full_img, boxes_2d_norm, train)
+                rgb_crops, full_imgs, boxes_2d_norm, train)
+
+        # Normalized box/camera features while the (B, N) axes are
+        # still separate (per-image camera scalars), then everything
+        # below operates on the flat (B*N,) box axis
+        extras = _box_feature_concat(
+            boxes_2d, view_angs[..., None], class_indices, cam_p,
+            cfg.image_input_shape, cfg.num_classes)
+
+        boxes_2d = flat(boxes_2d)
+        view_angs = flat(view_angs)
+        mean_lwh = flat(mean_lwh)
+        prop_cen_z_offsets = flat(prop_cen_z_offsets)
+        cen_y_offsets = flat(cen_y_offsets)
+        if gt_inputs is not None:
+            gt_inputs = jax.tree.map(flat, gt_inputs)
 
         outputs = {}
 
@@ -236,9 +295,6 @@ class MonoPSRNet(nn.Module):
 
         # Proposal FC trunk
         view_angs_col = view_angs[:, None]
-        extras = _box_feature_concat(
-            boxes_2d, view_angs_col, class_indices, cam_p,
-            cfg.image_input_shape, cfg.num_classes)
         prop_fc = FCTrunk(cfg.proposal_fc_sizes, cfg.dropout_keep_prob,
                           name='proposal_fc')(
             features_for_box_3d, extras, train)
@@ -310,12 +366,18 @@ class MonoPSRNet(nn.Module):
         outputs[constants.KEY_VIEW_ANG + '_offs'] = view_ang_offs
         outputs[constants.KEY_VIEW_ANG] = pred_view_angs
 
-        # Centroid proposals (ref: monopsr_output_builder.py:407-438)
-        prop_cen_z = instance.prop_cen_z_from_box_height(
-            cam_p, boxes_2d, pred_lwh[:, 2], prop_cen_z_offsets)
+        # Centroid proposals, flat-batch form of
+        # instance.prop_cen_z_from_box_height / est_y_from_box_2d_and_depth
+        # (ref: monopsr_output_builder.py:407-438) with per-row camera
+        # scalars (f_row, cv_row carry each image's calibration)
+        boxes_h = boxes_2d[:, 2] - boxes_2d[:, 0]
+        prop_cen_z = (f_row * pred_lwh[:, 2] / boxes_h
+                      + prop_cen_z_offsets)[:, None]
         outputs[constants.KEY_PROP_CEN_Z] = prop_cen_z
-        prop_cen_y = instance.est_y_from_box_2d_and_depth(
-            cam_p, boxes_2d, prop_cen_z, cen_y_offsets)
+        centre_v = ((boxes_2d[:, 2] + boxes_2d[:, 0]) / 2.0
+                    - cv_row)[:, None]
+        prop_cen_y = (centre_v * (prop_cen_z / f_row[:, None])
+                      - cen_y_offsets.reshape(-1, 1))
 
         # Regression FC trunk with appended early estimates
         # (ref: monopsr_output_builder.py:200-274)
@@ -376,11 +438,16 @@ class MonoPSRNet(nn.Module):
 
         # cen_x from viewing angle and depth
         # (ref: monopsr_output_builder.py:551-571)
-        x_offset = -cam_p[0, 3] / cam_p[0, 0]
-        pred_cen_x = pred_cen_z * jnp.tan(pred_view_angs) + x_offset
+        pred_cen_x = (pred_cen_z * jnp.tan(pred_view_angs)
+                      + x_offset_row[:, None])
         outputs[constants.KEY_CEN_X] = pred_cen_x
 
         outputs[constants.KEY_CENTROIDS] = jnp.concatenate(
             [pred_cen_x, pred_cen_y, pred_cen_z], axis=1)
 
+        if batched:
+            # (B*N, ...) -> (B, N, ...); the single-sample path's flat
+            # (1*N, ...) arrays already ARE the per-sample shapes
+            outputs = {k: v.reshape((b, n) + v.shape[1:])
+                       for k, v in outputs.items()}
         return outputs

@@ -94,27 +94,35 @@ def stack_samples(samples):
 
 
 def make_train_step(net, cfg, loss_config, tx, use_ema, ema_decay):
-    """Builds the jitted train step over a stacked sample batch."""
+    """Builds the jitted train step over a stacked sample batch.
 
-    def per_sample_loss(params, batch_stats, sample):
-        variables = {'params': params, 'batch_stats': batch_stats}
-        outputs, mutated = net.apply(
-            variables, **monopsr.net_inputs_from_batch(sample),
-            train=True, mutable=['batch_stats'])
-        gt = monopsr.build_gt_dict(cfg, sample, outputs)
-        outputs, gt = monopsr.add_global_outputs(cfg, sample, outputs, gt)
-        losses, total = monopsr.compute_losses(
-            cfg, loss_config, outputs, gt)
-        return total, (losses, mutated['batch_stats'])
+    The forward runs the net's batch-native path (one flat box axis,
+    true image batch on the full tower) — vmapping the per-sample
+    forward instead measures ~1.7x slower on the towers' fwd+bwd
+    (scripts/diag_forward_bisect.py). GT assembly and the losses stay
+    vmapped per sample (per-image gathers + light geometry).
+    """
 
     def train_step(state, batch):
         def loss_fn(params):
-            totals, (losses, stats) = jax.vmap(
-                lambda s: per_sample_loss(params, state.batch_stats, s)
-            )(batch)
+            variables = {'params': params,
+                         'batch_stats': state.batch_stats}
+            outputs, mutated = net.apply(
+                variables, **monopsr.net_inputs_from_batch(batch),
+                train=True, mutable=['batch_stats'])
+
+            def per_sample(sample, sample_outputs):
+                gt = monopsr.build_gt_dict(cfg, sample, sample_outputs)
+                sample_outputs, gt = monopsr.add_global_outputs(
+                    cfg, sample, sample_outputs, gt)
+                losses, total = monopsr.compute_losses(
+                    cfg, loss_config, sample_outputs, gt)
+                return total, losses
+
+            totals, losses = jax.vmap(per_sample)(batch, outputs)
             total = jnp.mean(totals)
             return total, (jax.tree.map(jnp.mean, losses),
-                           jax.tree.map(lambda x: jnp.mean(x, 0), stats))
+                           mutated['batch_stats'])
 
         (_, (losses, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

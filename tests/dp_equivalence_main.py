@@ -95,15 +95,21 @@ def main():
 
     assert abs(loss_1 - loss_2) < 1e-5, (loss_1, loss_2)
 
+    # Tolerance: the batch-native towers batch (2N) boxes on 1 device
+    # vs (N) per shard on 2, so XLA tiles reductions differently and
+    # gradients agree only to f32 noise; a bias-corrected first Adam
+    # step is +-lr for ANY nonzero gradient (m/sqrt(v) = sign(g)), so a
+    # noise-level sign flip on a near-zero gradient element moves the
+    # param by up to 2*lr = 2e-3. The tight invariant is the loss above.
     max_diff = 0.0
     flat_1, _ = jax.tree.flatten(params_1)
     flat_2, _ = jax.tree.flatten(params_2)
     assert len(flat_1) == len(flat_2)
     for a, b in zip(flat_1, flat_2):
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-3)
         max_diff = max(max_diff, float(np.max(np.abs(a - b))))
     for a, b in zip(jax.tree.flatten(ema_1)[0], jax.tree.flatten(ema_2)[0]):
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-3)
 
     print('DP_EQUIVALENCE_OK max_param_diff={:.3e} loss={:.6f}'.format(
         max_diff, loss_1))

@@ -46,9 +46,12 @@ def test_duplicated_sample_batch_matches_batch_one():
     p1 = jax.tree.leaves(jax.device_get(state1.params))
     p2 = jax.tree.leaves(jax.device_get(state2.params))
     for a, b in zip(p1, p2):
-        # atol covers reduction-order noise (mean over 2 identical
-        # samples vs 1) amplified by adam's rsqrt at tiny variance
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+        # The batch-native towers run (2N) vs (N) box batches, so XLA
+        # tiles reductions differently -> f32-noise gradient deltas; a
+        # bias-corrected first Adam step is +-lr for any nonzero grad,
+        # so noise-level sign flips move params by up to 2*lr = 2e-3.
+        # The tight invariant is the loss equality above.
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=2e-3)
 
 
 def test_batch_loss_is_mean_of_per_sample_losses():
@@ -69,4 +72,8 @@ def test_batch_loss_is_mean_of_per_sample_losses():
     t0 = total_of([s0])
     t1 = total_of([s1])
     t01 = total_of([s0, s1])
-    np.testing.assert_allclose(t01, (t0 + t1) / 2.0, rtol=1e-5)
+    # The map decoder's train-mode BatchNorm computes stats over the
+    # whole flat (B*N) box batch (conventional batching semantics), so
+    # a joint batch is NOT bit-decomposable into per-sample losses; the
+    # coupling measures ~4e-4 relative at these shapes.
+    np.testing.assert_allclose(t01, (t0 + t1) / 2.0, rtol=2e-3)

@@ -218,3 +218,50 @@ def test_batched_image_forward_matches_per_sample():
             np.testing.assert_allclose(
                 np.asarray(batched[key][i]), np.asarray(single[key]),
                 rtol=2e-4, atol=2e-4, err_msg=key)
+
+
+class TestBatchNativeForward:
+    """The batch-native multi-image path must equal vmapping the
+    single-sample forward (same params, same inputs)."""
+
+    def test_batched_matches_vmapped_single(self):
+        cfg = TINY_CFG
+        net = MonoPSRNet(cfg=cfg)
+        samples = [make_batch(cfg) for _ in range(3)]
+        stacked = {k: np.stack([s[k] for s in samples])
+                   for k in samples[0]}
+
+        variables = jax.jit(
+            lambda s: net.init(jax.random.PRNGKey(0),
+                               **monopsr.net_inputs_from_batch(s),
+                               train=False))(samples[0])
+
+        vmapped = jax.jit(lambda v, b: jax.vmap(
+            lambda s: net.apply(v, **monopsr.net_inputs_from_batch(s),
+                                train=False))(b))(variables, stacked)
+        batched = jax.jit(lambda v, b: net.apply(
+            v, **monopsr.net_inputs_from_batch(b),
+            train=False))(variables, stacked)
+
+        assert sorted(vmapped) == sorted(batched)
+        for key in vmapped:
+            a, b = np.asarray(vmapped[key]), np.asarray(batched[key])
+            assert a.shape == b.shape, key
+            scale = max(np.abs(a).max(), 1.0)
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=2e-6, err_msg=key)
+
+    def test_single_sample_is_unbatched_shape(self):
+        cfg = TINY_CFG
+        net = MonoPSRNet(cfg=cfg)
+        sample = make_batch(cfg)
+        variables = jax.jit(
+            lambda s: net.init(jax.random.PRNGKey(0),
+                               **monopsr.net_inputs_from_batch(s),
+                               train=False))(sample)
+        out = jax.jit(lambda v, s: net.apply(
+            v, **monopsr.net_inputs_from_batch(s),
+            train=False))(variables, sample)
+        assert out[C.KEY_CENTROIDS].shape == (cfg.num_boxes, 3)
+        assert out[C.KEY_INST_XYZ_MAP_LOCAL].shape == (
+            cfg.num_boxes, 48, 48, 3)
