@@ -438,20 +438,36 @@ def main():
     fwd_flops = forward_flops()
     train_ms, train_flops = bench_train_step()
     # Per-device image batching curve (train_config.batch_size):
-    # steps/s and images/s per batch width on one chip
-    train_batch_curve = {}
-    for bs in (2, 4):
+    # steps/s, images/s and MFU per batch width on one chip. The
+    # headline train MFU is taken at the best-performing width — the
+    # production setting (batch 1 pays the fixed optimizer-update HBM
+    # sweep, ~8 ms over the 1.6 GB Adam+EMA state, per single image).
+    peak = V5E_BF16_PEAK_FLOPS
+    train_batch_curve = {
+        '1': {'step_ms': round(train_ms, 2),
+              'images_per_sec': round(1000.0 / train_ms, 2),
+              'mfu_pct': round(
+                  100.0 * train_flops / (train_ms / 1000.0) / peak, 2)},
+    }
+    for bs in (2, 4, 8):
         try:
-            ms_b, _ = bench_train_step(n_iters=6, n_samples=bs)
+            ms_b, flops_b = bench_train_step(n_iters=6, n_samples=bs)
             train_batch_curve[str(bs)] = {
                 'step_ms': round(ms_b, 2),
                 'images_per_sec': round(bs * 1000.0 / ms_b, 2),
+                'mfu_pct': round(
+                    100.0 * flops_b / (ms_b / 1000.0) / peak, 2),
             }
         except Exception as exc:
             train_batch_curve[str(bs)] = {'error': str(exc)[:120]}
+    train_best_bs, train_best = max(
+        ((b, c) for b, c in train_batch_curve.items() if 'mfu_pct' in c),
+        key=lambda bc: bc[1]['mfu_pct'])
 
-    peak = V5E_BF16_PEAK_FLOPS
-    transport_ceiling = d2h / max(up_mb + down_mb, 1e-9)
+    # Transport ceiling: the tunnel is full duplex (upload overlaps the
+    # result pull — measured e2e exceeded the serial-sum bound in r03),
+    # so the binding direction alone caps the rate.
+    transport_ceiling = d2h / max(up_mb, down_mb, 1e-9)
     result = {
         'metric': 'inference_fps_tpu_v5e',
         'value': round(device_fps, 2),
@@ -482,13 +498,11 @@ def main():
             'batched8_mfu_pct': round(
                 100.0 * batched_flops_frame * batched_fps / peak, 2),
             'train_step_ms': round(train_ms, 2),
-            'train_batch_curve': {
-                '1': {'step_ms': round(train_ms, 2),
-                      'images_per_sec': round(1000.0 / train_ms, 2)},
-                **train_batch_curve},
+            'train_batch_curve': train_batch_curve,
             'train_gflops_per_step': round(train_flops / 1e9, 2),
-            'train_mfu_pct': round(
-                100.0 * train_flops / (train_ms / 1000.0) / peak, 2),
+            'train_mfu_pct': train_best['mfu_pct'],
+            'train_mfu_batch': int(train_best_bs),
+            'train_mfu_batch1_pct': train_batch_curve['1']['mfu_pct'],
         },
         'note': ('value = sustained device rate (device-resident '
                  'inputs; on production hosts the per-frame upload is '
@@ -498,7 +512,10 @@ def main():
                  'swings); e2e also includes dataset assembly, host '
                  'formatting, and prediction writes — see '
                  'e2e_stages_ms_per_frame. MFU = compiled-FLOPs * '
-                 'rate / v5e bf16 peak.'),
+                 'rate / v5e bf16 peak; train_mfu_pct is at the best '
+                 'batch width (train_mfu_batch), batch-1 reported '
+                 'alongside. transport_ceiling_fps assumes duplex '
+                 'up/down overlap (binding direction only).'),
     }
     print(json.dumps(result))
 
