@@ -26,6 +26,7 @@ Baseline: the reference reports ~0.2 s/frame on a desktop GPU
 """
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -484,6 +485,13 @@ def main():
         'e2e_up_mb_per_frame': round(up_mb, 3),
         'e2e_down_mb_per_frame': round(down_mb, 3),
         'd2h_mbps': round(d2h, 1),
+        # Host-feed capacity: producer threads of sample assembly
+        # needed to sustain the device rate (assembly parallelizes
+        # per-sample across the evaluator's ordered producer pool;
+        # this dev host has 1 core, production hosts have dozens)
+        'assembly_threads_to_feed_device': (
+            math.ceil(e2e_stages.get('assembly', 0.0)
+                      * device_fps / 1000.0) or 1),
         'transport_ceiling_fps': round(transport_ceiling, 1),
         'e2e_pct_of_ceiling': round(
             100.0 * e2e_fps / max(min(transport_ceiling, device_fps),

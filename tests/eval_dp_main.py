@@ -1,10 +1,10 @@
 """Data-parallel evaluation correctness (run by test_data_parallel.py).
 
 Trains the tiny integration config for 2 steps, then evaluates the
-checkpoint twice through the full Evaluator harness — once on a
-2-device 'data' mesh (eval_data_parallel=2) and once single-device —
-and asserts identical box_3d prediction dumps.
-Requires XLA_FLAGS=--xla_force_host_platform_device_count=2.
+checkpoint twice through the full Evaluator harness — once on an
+N-device 'data' mesh (eval_data_parallel=N, N = argv[1], default 2)
+and once single-device — and asserts identical box_3d prediction
+dumps. Requires XLA_FLAGS=--xla_force_host_platform_device_count=N.
 """
 
 import os
@@ -26,7 +26,8 @@ jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
 def main():
-    assert len(jax.devices()) >= 2, 'need 2 virtual devices'
+    n_dp = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    assert len(jax.devices()) >= n_dp, 'need %d virtual devices' % n_dp
 
     from pathlib import Path
 
@@ -41,7 +42,7 @@ def main():
     trainer.train(config, dataset)
 
     dumps = {}
-    for dp in (2, 1):
+    for dp in (n_dp, 1):
         cfg = make_config(tmp, max_iterations=2)
         cfg.dataset_config.data_split = 'val'
         cfg.train_config.eval_data_parallel = dp
@@ -55,13 +56,13 @@ def main():
             f: np.loadtxt(os.path.join(out_dir, f)).reshape(-1, 9)
             for f in sorted(os.listdir(out_dir))}
 
-    assert dumps[2].keys() == dumps[1].keys()
+    assert dumps[n_dp].keys() == dumps[1].keys()
     for name in dumps[1]:
         np.testing.assert_allclose(
-            dumps[2][name], dumps[1][name], rtol=1e-4, atol=1e-4,
+            dumps[n_dp][name], dumps[1][name], rtol=1e-4, atol=1e-4,
             err_msg=name)
 
-    print('EVAL_DP_EQUIVALENCE_OK')
+    print('EVAL_DP_EQUIVALENCE_OK dp=%d' % n_dp)
 
 
 if __name__ == '__main__':
