@@ -114,6 +114,32 @@ def main():
         results['emd_pallas_ms'] = None
         results['emd_pallas_error'] = str(exc)[:200]
 
+    # Differentiable loss path (emd_distance: value + grads to BOTH
+    # clouds). The XLA route materializes the plan via the annealing
+    # scan; the Pallas route computes cost + plan-contracted gradient
+    # accumulators in ONE VMEM-resident sweep (custom VJP, no plan in
+    # HBM) — ref: tf_approxmatch.py:52-71 gradient contract.
+    for label, use_pallas in (('emd_loss_xla', False),
+                              ('emd_loss_pallas', True)):
+        try:
+            def emd_loss_vg(a, b, _p=use_pallas):
+                val, (g1, g2) = jax.value_and_grad(
+                    lambda x, y: emd_ops.emd_distance(
+                        x, y, use_pallas=_p).sum(),
+                    argnums=(0, 1))(a, b)
+                return val, g1, g2
+
+            t = _time(emd_loss_vg,
+                      lambda out: out[0] + out[1].sum() + out[2].sum(),
+                      xyz1, xyz2, iters=8)
+            results[label + '_ms'] = round(t * 1e3, 3)
+        except Exception as exc:
+            results[label + '_ms'] = None
+            results[label + '_error'] = str(exc)[:200]
+    if results.get('emd_loss_pallas_ms') and results.get('emd_pallas_ms'):
+        results['emd_loss_vs_fused_metric'] = round(
+            results['emd_loss_pallas_ms'] / results['emd_pallas_ms'], 2)
+
     results['emd_note'] = (
         'per-sample eval metric cost at production shapes; the pipelined '
         'evaluator overlaps this with host formatting. The Pallas kernel '
