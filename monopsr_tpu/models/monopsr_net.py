@@ -49,6 +49,12 @@ class NetConfig:
     output_stride: int = 4
     resnet: str = 'resnet101'
     compute_dtype: str = 'bfloat16'
+    # Phase-space (space-to-batch) form of the atrous ResNet blocks:
+    # numerically identical to dilated convs (see models/resnet.py) and
+    # ~1.5x faster on TPU, but its reshape-heavy graph is pathologically
+    # slow for XLA:CPU to compile at full image shapes — CPU validation
+    # meshes may turn it off without changing the math.
+    use_phase_space: bool = True
     # Output types
     lwh_type: str = 'offset'
     alpha_type: str = 'dc'
@@ -265,7 +271,8 @@ class MonoPSRNet(nn.Module):
         features_for_map, features_for_box_3d = Resnet101_4xSquash(
             map_roi_size=cfg.map_roi_size,
             output_stride=cfg.output_stride,
-            resnet=cfg.resnet, dtype=dtype, name='backbone')(
+            resnet=cfg.resnet, dtype=dtype,
+            use_phase_space=cfg.use_phase_space, name='backbone')(
                 rgb_crops, full_imgs, boxes_2d_norm, train)
 
         # Normalized box/camera features while the (B, N) axes are
