@@ -357,6 +357,15 @@ class Evaluator:
                 name: float(np.mean(v[np.isfinite(v)]))
                 if np.isfinite(v).any() else float('nan')
                 for name, v in metrics_flat.items()}
+            # Signed means cancel across samples (a +2 m and a -2 m
+            # cen_z error average to 0); expose the mean magnitude too
+            # so downstream gates can bound the actual per-sample error
+            # (same statistic as the CSVs' avg_abs column,
+            # ref: evaluator_utils.py:294-403)
+            results['metrics_abs'] = {
+                name: float(np.mean(np.abs(v[np.isfinite(v)])))
+                if np.isfinite(v).any() else float('nan')
+                for name, v in metrics_flat.items()}
 
             # Print the configured subset (the reference mirrors
             # metrics_to_show to TensorBoard, ref: evaluator_utils.py:294+)

@@ -25,15 +25,22 @@ allows, in two phases:
    (monopsr_model.create_feed_dict, monopsr_model.py:494-552).
    The evaluable frames run the full val-mode stack
    (MSCNN merge ref: kitti_dataset.py:259-273, distance default scores,
-   re-scoring) and the phase gates on (a) the image-AP floor and (b) nonzero
+   re-scoring) and the phase gates on (a) the image-AP floor, (b) nonzero
    metric-space (BEV or 3D) Car AP at the low-IoU regime — proving the
    val pipeline produces sane detections on unseen frames, not just
-   train-split self-consistency, plus (c) a held-out cen_z-error
-   ceiling (0.75 m) so depth must transfer, not just rank — flips
-   halved it from r03's ~1.04 m to 0.51 m (ACCURACY_r04). (3D@0.5
-   on val specifically is not gated: from-random-init training on
-   7 images cannot localize unseen depth to 3D-IoU precision — a
-   training-data limit, not a pipeline defect.)
+   train-split self-consistency — plus two held-out depth gates
+   stated separately because they measure different failures:
+   (c) cen_z BIAS (|signed mean error|) must stay under 0.75 m — a
+   systematic depth offset would indicate a geometry/calibration bug
+   rather than a data limit; and (d) cen_z MAGNITUDE (mean |error|,
+   the CSVs' avg_abs statistic) must stay under 2.0 m. The magnitude
+   ceiling is the honest data-limited figure: from-random-init
+   training on 7 images measures ~1.6-1.8 m per-frame depth error on
+   unseen frames (no pretrained backbone exists in this environment);
+   the signed mean is much smaller (~0.5 m) only because per-frame
+   errors cancel — gating on it alone would overstate transfer.
+   (3D@0.5 on val specifically is not gated for the same
+   training-data reason; full-scale expectations live in RUNBOOK.md.)
 
 Usage (driver-runnable, ~30-40 min on one TPU chip):
     python scripts/accuracy_gate.py --out ACCURACY_r03.json
@@ -137,10 +144,15 @@ def main():
                         help='Gate: ceiling on |avg cen_z error| (m)')
     parser.add_argument('--max_chamfer', type=float, default=0.2,
                         help='Gate: ceiling on avg chamfer metric')
-    parser.add_argument('--max_val_cen_z_err', type=float, default=0.75,
-                        help='Gate: ceiling on held-out val |avg cen_z '
-                             'error| (m); r03 memorization measured '
-                             '~1.04, r04 with flips 0.51')
+    parser.add_argument('--max_val_cen_z_bias', type=float, default=0.75,
+                        help='Gate: ceiling on held-out val cen_z BIAS '
+                             '|mean signed error| (m) — catches '
+                             'systematic depth offsets')
+    parser.add_argument('--max_val_cen_z_abs', type=float, default=2.0,
+                        help='Gate: ceiling on held-out val cen_z '
+                             'MAGNITUDE, mean |error| (m). ~1.6-1.8 m '
+                             'measured from random init on the 7-image '
+                             'fixture — a training-data limit')
     parser.add_argument('--min_val_ap', type=float, default=0.0,
                         help='Gate: held-out val Car AP_3D moderate at '
                              'the LOW IoU regime must EXCEED this '
@@ -189,7 +201,9 @@ def main():
     ap_2d = train_aps.get('car_detection', [0, 0, 0])
 
     metrics = results.get('metrics', {})
-    cen_z_err = abs(metrics.get('metric_cen_z_err', float('inf')))
+    metrics_abs = results.get('metrics_abs', {})
+    # Mean |error|, not |mean error| — signed per-sample errors cancel
+    cen_z_err = metrics_abs.get('metric_cen_z_err', float('inf'))
     chamfer = metrics.get('metric_chamfer', float('inf'))
 
     checks = {
@@ -215,6 +229,7 @@ def main():
             'iou_regime': '0.7/0.5/0.5',
             'losses': results.get('losses', {}),
             'metrics': metrics,
+            'metrics_abs': metrics_abs,
         },
         'gates': {
             'min_ap': args.min_ap,
@@ -222,7 +237,8 @@ def main():
             'max_cen_z_err': args.max_cen_z_err,
             'max_chamfer': args.max_chamfer,
             'min_val_ap': args.min_val_ap,
-            'max_val_cen_z_err': args.max_val_cen_z_err,
+            'max_val_cen_z_bias': args.max_val_cen_z_bias,
+            'max_val_cen_z_abs': args.max_val_cen_z_abs,
         },
     }
 
@@ -255,15 +271,19 @@ def main():
             val_ap_image[1] >= args.min_ap)
         checks['val_metric_ap_nonzero'] = bool(
             max(val_ap_bev_low[1], val_ap_3d_low[1]) > args.min_val_ap)
-        # Depth must transfer, not just rank: r03 measured ~1.04 m val
-        # cen_z error (a symptom of memorized depth); the flip
-        # augmentation halved it to 0.51 m (ACCURACY_r04). Gate at
-        # 0.75 m — fails r03-level memorization, passes r04 with
-        # run-to-run margin.
-        val_cen_z = abs(val_results.get('metrics', {}).get(
+        # Two held-out depth gates (see module docstring): bias =
+        # |mean signed error| catches systematic offsets; magnitude =
+        # mean |error| (avg_abs) bounds the real per-frame error and
+        # is the honest data-limited figure (~1.6-1.8 m from random
+        # init on 7 images).
+        val_cen_z_bias = abs(val_results.get('metrics', {}).get(
             'metric_cen_z_err', float('inf')))
-        checks['val_cen_z_ceiling'] = bool(
-            val_cen_z <= args.max_val_cen_z_err)
+        val_cen_z_abs = val_results.get('metrics_abs', {}).get(
+            'metric_cen_z_err', float('inf'))
+        checks['val_cen_z_bias_ceiling'] = bool(
+            val_cen_z_bias <= args.max_val_cen_z_bias)
+        checks['val_cen_z_abs_ceiling'] = bool(
+            val_cen_z_abs <= args.max_val_cen_z_abs)
 
         gate['val'] = {
             'split': 'val',
@@ -279,6 +299,9 @@ def main():
             'low_iou_regime': '0.5/0.25/0.25',
             'losses': val_results.get('losses', {}),
             'metrics': val_results.get('metrics', {}),
+            'metrics_abs': val_results.get('metrics_abs', {}),
+            'cen_z_bias_m': val_cen_z_bias,
+            'cen_z_abs_m': val_cen_z_abs,
         }
 
     gate['checks'] = checks
