@@ -55,6 +55,11 @@ class NetConfig:
     # slow for XLA:CPU to compile at full image shapes — CPU validation
     # meshes may turn it off without changing the math.
     use_phase_space: bool = True
+    # Rematerialize tower bottlenecks on the backward pass (train-time
+    # memory/FLOPs trade; see models/resnet.py). Opt-in via the YAML
+    # model_config.remat_towers — lifts the train step's batch-width
+    # ceiling at ~1/3 extra tower FLOPs.
+    remat_towers: bool = False
     # Output types
     lwh_type: str = 'offset'
     alpha_type: str = 'dc'
@@ -100,6 +105,7 @@ class NetConfig:
             compute_dtype=model_config.get('compute_dtype', 'bfloat16'),
             resnet=model_config.get('resnet', 'resnet101'),
             output_stride=model_config.get('output_stride', 4),
+            remat_towers=bool(model_config.get('remat_towers', False)),
             lwh_type=oc.lwh,
             alpha_type=oc.alpha,
             view_ang_type=oc.view_ang,
@@ -272,7 +278,8 @@ class MonoPSRNet(nn.Module):
             map_roi_size=cfg.map_roi_size,
             output_stride=cfg.output_stride,
             resnet=cfg.resnet, dtype=dtype,
-            use_phase_space=cfg.use_phase_space, name='backbone')(
+            use_phase_space=cfg.use_phase_space,
+            remat_towers=cfg.remat_towers, name='backbone')(
                 rgb_crops, full_imgs, boxes_2d_norm, train)
 
         # Normalized box/camera features while the (B, N) axes are

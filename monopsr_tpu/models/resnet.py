@@ -167,6 +167,12 @@ class ResNetV1(nn.Module):
     # falls back to per-conv handling — numerically identical, kept as
     # an escape hatch and for the equivalence test.
     use_phase_space: bool = True
+    # Rematerialize each bottleneck on the backward pass: activations
+    # are recomputed instead of stored, trading ~1/3 extra FLOPs in the
+    # towers for a large activation-memory cut — lifts the train step's
+    # batch-width ceiling (batch 8 regressed on activation pressure
+    # without it). Parameter tree is unchanged.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -180,6 +186,7 @@ class ResNetV1(nn.Module):
 
         current_stride = 4
         rate = 1
+        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
 
         # Atrous runs (all stride-1 units of equal rate) execute in
         # "phase space": one space-to-batch of the whole run, plain
@@ -239,7 +246,7 @@ class ResNetV1(nn.Module):
                     x = to_phase(x, unit_rate)
                     phase_rate = unit_rate
 
-                x = Bottleneck(
+                x = block_cls(
                     depth=depth, depth_bottleneck=depth_bottleneck,
                     stride=unit_stride,
                     rate=1 if phase_rate > 1 else unit_rate,

@@ -80,6 +80,10 @@ def build_gate_config(args, out_dir, data_split, suffix=''):
     ds['mscnn_dir'] = os.path.join(FIXTURE, 'mscnn')
     ds['data_split'] = data_split
     ds['seed'] = args.seed
+    # Mirror-flip augmentation doubles the 7-image fixture's effective
+    # viewpoints — the cheapest lever for held-out transfer (only
+    # applied when train_val_test == 'train', so safe to set globally).
+    ds['aug_config']['use_flip_aug'] = bool(args.flip)
 
     tc = raw['train_config']
     tc['max_iterations'] = args.steps
@@ -157,6 +161,11 @@ def main():
                         help='Gate: held-out val Car AP_3D moderate at '
                              'the LOW IoU regime must EXCEED this '
                              '(negative disables the val phase)')
+    parser.add_argument('--flip', action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help='Horizontal-flip augmentation during the '
+                             'train phase (doubles the fixture\'s '
+                             'effective viewpoints)')
     parser.add_argument('--skip_train', action='store_true',
                         help='Evaluate the existing checkpoint only')
     args = parser.parse_args()

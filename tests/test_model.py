@@ -265,3 +265,32 @@ class TestBatchNativeForward:
         assert out[C.KEY_CENTROIDS].shape == (cfg.num_boxes, 3)
         assert out[C.KEY_INST_XYZ_MAP_LOCAL].shape == (
             cfg.num_boxes, 48, 48, 3)
+
+
+def test_remat_towers_flag_reaches_towers():
+    """NetConfig.remat_towers must thread through the backbone: the
+    traced forward contains remat primitives iff the flag is set
+    (trace-only — numerical equivalence is covered at the ResNet level
+    in test_resnet_specs.py)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    def jaxpr_text(cfg):
+        net = MonoPSRNet(cfg=cfg)
+        sample = make_batch(cfg)
+        variables = jax.eval_shape(
+            lambda s: net.init(jax.random.PRNGKey(0),
+                               **monopsr.net_inputs_from_batch(s),
+                               train=False), sample)
+        variables = jax.tree.map(
+            lambda a: jnp.zeros(a.shape, a.dtype), variables)
+        return str(jax.make_jaxpr(
+            lambda v, s: net.apply(
+                v, **monopsr.net_inputs_from_batch(s), train=False))(
+                    variables, sample))
+
+    base = TINY_CFG
+    with_remat = dataclasses.replace(base, remat_towers=True)
+    assert 'remat' in jaxpr_text(with_remat)
+    assert 'remat' not in jaxpr_text(base)

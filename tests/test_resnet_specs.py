@@ -133,3 +133,41 @@ def test_phase_space_blocks_match_per_conv_dilation():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5,
                                    err_msg=str(shape))
+
+
+def test_remat_matches_plain_values_and_grads():
+    """remat=True must change neither the parameter tree, the forward
+    values, nor the gradients — it only changes what the backward pass
+    stores vs recomputes."""
+    import numpy as np
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 48, 48, 3).astype(np.float32)
+
+    plain = ResNetV1(spec=RESNET_SPECS['resnet_tiny'], output_stride=4,
+                     dtype=jnp.float32, remat=False)
+    remat = ResNetV1(spec=RESNET_SPECS['resnet_tiny'], output_stride=4,
+                     dtype=jnp.float32, remat=True)
+    variables = plain.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(remat.init(
+        jax.random.PRNGKey(0), x)) ==
+        jax.tree_util.tree_structure(variables))
+
+    def loss(module):
+        def fn(params):
+            y = module.apply(
+                {'params': params,
+                 'batch_stats': variables['batch_stats']}, x)
+            return jnp.sum(y ** 2)
+        return jax.jit(jax.value_and_grad(fn))
+
+    v_plain, g_plain = loss(plain)(variables['params'])
+    v_remat, g_remat = loss(remat)(variables['params'])
+    np.testing.assert_allclose(float(v_plain), float(v_remat),
+                               rtol=1e-6)
+    for (kp, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_plain),
+            jax.tree_util.tree_leaves_with_path(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=str(kp))
