@@ -221,15 +221,23 @@ def bench_batched(batch=8):
     return rate * batch, flops_frame
 
 
-def bench_train_step(n_iters=10, n_samples=1):
+def bench_train_step(n_iters=10, n_samples=1, remat=False):
     """Full-scale train step (GT assembly + fwd + bwd + update, one
     jitted program, device-resident batch of n_samples images): per-
     step ms + FLOPs.
 
+    remat=True enables model_config.remat_towers (recompute the tower
+    bottleneck activations in the backward pass) — the wide-batch
+    setting where saved activations otherwise exceed what fits next to
+    the 1.6 GB optimizer state (see scripts/diag_remat_width.py).
+
     Returns:
         (step_ms, flops_per_step)
     """
+    import dataclasses
     _, cfg = graft._flagship_config()
+    if remat:
+        cfg = dataclasses.replace(cfg, remat_towers=True)
     train_step, state, batch = graft.build_train_setup(
         cfg, n_samples=n_samples)
     dev_batch = jax.device_put(batch)
@@ -450,17 +458,26 @@ def main():
               'mfu_pct': round(
                   100.0 * train_flops / (train_ms / 1000.0) / peak, 2)},
     }
-    for bs in (2, 4, 8):
+    # Widths 2/4/8 without remat, plus batch 8 WITH tower remat
+    # ('8r'): at batch 8 the saved tower activations no longer fit
+    # comfortably next to the optimizer state and the no-remat step
+    # regresses; recomputing them in the backward pass recovers the
+    # width scaling (scripts/diag_remat_width.py).
+    for key, bs, remat in (('2', 2, False), ('4', 4, False),
+                           ('8', 8, False), ('8r', 8, True)):
         try:
-            ms_b, flops_b = bench_train_step(n_iters=6, n_samples=bs)
-            train_batch_curve[str(bs)] = {
+            ms_b, flops_b = bench_train_step(
+                n_iters=6, n_samples=bs, remat=remat)
+            train_batch_curve[key] = {
                 'step_ms': round(ms_b, 2),
                 'images_per_sec': round(bs * 1000.0 / ms_b, 2),
                 'mfu_pct': round(
                     100.0 * flops_b / (ms_b / 1000.0) / peak, 2),
             }
+            if remat:
+                train_batch_curve[key]['remat_towers'] = True
         except Exception as exc:
-            train_batch_curve[str(bs)] = {'error': str(exc)[:120]}
+            train_batch_curve[key] = {'error': str(exc)[:120]}
     train_best_bs, train_best = max(
         ((b, c) for b, c in train_batch_curve.items() if 'mfu_pct' in c),
         key=lambda bc: bc[1]['mfu_pct'])
@@ -509,7 +526,8 @@ def main():
             'train_batch_curve': train_batch_curve,
             'train_gflops_per_step': round(train_flops / 1e9, 2),
             'train_mfu_pct': train_best['mfu_pct'],
-            'train_mfu_batch': int(train_best_bs),
+            'train_mfu_batch': int(train_best_bs.rstrip('r')),
+            'train_mfu_remat': train_best_bs.endswith('r'),
             'train_mfu_batch1_pct': train_batch_curve['1']['mfu_pct'],
         },
         'note': ('value = sustained device rate (device-resident '
