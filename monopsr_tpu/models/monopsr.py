@@ -273,6 +273,25 @@ def compute_losses(cfg: NetConfig, loss_config, outputs, gt):
         losses[C.KEY_ALPHA_REGS] = regs_loss
         total += bins_loss + regs_loss
 
+    # alpha (prob variant): softmax-temperature CE on the bin logits vs
+    # one-hot GT bins, plus regression on the decoded alpha (the softmax
+    # expectation over bin centres) vs GT alpha
+    # (ref: monopsr_model.py:714-760)
+    elif cfg.alpha_type == 'prob':
+        nb = cfg.num_alpha_bins
+        one_hot = jnp.eye(nb)[gt[C.KEY_ALPHA_BINS]]
+        bins_loss = jnp.sum(loss_lib.apply_loss(
+            loss_config['alpha_cls_temp'],
+            outputs[C.KEY_ALPHA_BINS][None], one_hot[None],
+            ones_mask)) / num_boxes
+        alpha_reg_loss = jnp.sum(loss_lib.apply_loss(
+            loss_config['alpha_reg'],
+            outputs[C.KEY_ALPHA][None],
+            gt[C.KEY_ALPHA][None], ones_mask)) / num_boxes
+        losses[C.KEY_ALPHA_BINS] = bins_loss
+        losses[C.KEY_ALPHA] = alpha_reg_loss
+        total += bins_loss + alpha_reg_loss
+
     # cen_z offsets
     if cfg.cen_z_type == 'offset':
         cen_z_loss = jnp.sum(loss_lib.apply_loss(

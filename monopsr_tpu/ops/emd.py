@@ -29,8 +29,11 @@ def _approx_match_single(xyz1, xyz2):
     n = xyz1.shape[0]
     m = xyz2.shape[0]
 
-    factor_l = max(n, m) / n
-    factor_r = max(n, m) / m
+    # Integer-division capacity factors match the reference exactly
+    # (C++ int division at ref: tf_approxmatch.cpp:25-26); divergent from
+    # float division only when neither n nor m divides the other.
+    factor_l = max(n, m) // n
+    factor_r = max(n, m) // m
 
     # Squared pairwise distances. Clamp: the matmul form can dip a hair
     # below zero, and exp(-level * -eps) with level = -4^8 overflows.
@@ -184,8 +187,11 @@ def _emd_cost_fused_single(xyz1, xyz2):
     """
     n = xyz1.shape[0]
     m = xyz2.shape[0]
-    factor_l = max(n, m) / n
-    factor_r = max(n, m) / m
+    # Integer-division capacity factors match the reference exactly
+    # (C++ int division at ref: tf_approxmatch.cpp:25-26); divergent from
+    # float division only when neither n nor m divides the other.
+    factor_l = max(n, m) // n
+    factor_r = max(n, m) // m
 
     d = (jnp.sum(xyz1 * xyz1, axis=1, keepdims=True) +
          jnp.sum(xyz2 * xyz2, axis=1, keepdims=True).T -
@@ -286,8 +292,11 @@ def _emd_fused_kernel(n, m, store_dtype):
 
     tile = min(_EMD_TILE, n)
     n_tiles = n // tile
-    factor_l = max(n, m) / n
-    factor_r = max(n, m) / m
+    # Integer-division capacity factors match the reference exactly
+    # (C++ int division at ref: tf_approxmatch.cpp:25-26); divergent from
+    # float division only when neither n nor m divides the other.
+    factor_l = max(n, m) // n
+    factor_r = max(n, m) // m
     levels = [0.0 if j == -2 else -(4.0 ** j) for j in _LEVELS]
 
     def kernel(x1t_ref, x2t_ref, cost_ref, w_ref, sat_l_ref, sat_r_ref,
@@ -431,8 +440,11 @@ def _emd_loss_kernel(n, m, store_dtype):
 
     tile = min(_EMD_TILE, n)
     n_tiles = n // tile
-    factor_l = max(n, m) / n
-    factor_r = max(n, m) / m
+    # Integer-division capacity factors match the reference exactly
+    # (C++ int division at ref: tf_approxmatch.cpp:25-26); divergent from
+    # float division only when neither n nor m divides the other.
+    factor_l = max(n, m) // n
+    factor_r = max(n, m) // m
     levels = [0.0 if j == -2 else -(4.0 ** j) for j in _LEVELS]
 
     def kernel(x1t_ref, x2t_ref, cost_ref, grow_ref, gcol_ref,
@@ -619,8 +631,11 @@ def np_approx_match(xyz1, xyz2):
     import numpy as np
 
     n, m = len(xyz1), len(xyz2)
-    factor_l = max(n, m) / n
-    factor_r = max(n, m) / m
+    # Integer-division capacity factors match the reference exactly
+    # (C++ int division at ref: tf_approxmatch.cpp:25-26); divergent from
+    # float division only when neither n nor m divides the other.
+    factor_l = max(n, m) // n
+    factor_r = max(n, m) // m
 
     saturated_l = np.full(n, float(factor_l))
     saturated_r = np.full(m, float(factor_r))

@@ -126,6 +126,82 @@ class TestEMD:
                 want_match)
             np.testing.assert_allclose(cost[b], want_cost, rtol=2e-3)
 
+    def test_unequal_sizes_match_cpu_oracle(self):
+        """n != m clouds against a loop-faithful port of the reference's
+        approxmatch_cpu (ref: tf_approxmatch.cpp:23-105), including its
+        integer-division capacity factors (factorl = max(n,m)/n in C++
+        int arithmetic, :25-26)."""
+
+        def cpp_approxmatch(xyz1, xyz2):
+            n, m = len(xyz1), len(xyz2)
+            factorl = max(n, m) // n
+            factorr = max(n, m) // m
+            saturatedl = np.full(n, float(factorl))
+            saturatedr = np.full(m, float(factorr))
+            match = np.zeros((n, m))
+            for j in range(8, -3, -1):
+                level = 0.0 if j == -2 else -(4.0 ** j)
+                weight = np.zeros((n, m))
+                for k in range(n):
+                    for l in range(m):
+                        d2 = float(np.sum((xyz1[k] - xyz2[l]) ** 2))
+                        weight[k, l] = np.exp(level * d2) * saturatedr[l]
+                ss = np.full(m, 1e-9)
+                for k in range(n):
+                    s = 1e-9 + weight[k].sum()
+                    weight[k] = weight[k] / s * saturatedl[k]
+                    ss += weight[k]
+                ss = np.minimum(saturatedr / ss, 1.0)
+                ss2 = np.zeros(m)
+                for k in range(n):
+                    weight[k] *= ss
+                    ss2 += weight[k]
+                    saturatedl[k] = max(saturatedl[k] - weight[k].sum(),
+                                        0.0)
+                match += weight
+                saturatedr = np.maximum(saturatedr - ss2, 0.0)
+            return match
+
+        def cpp_matchcost(xyz1, xyz2, match):
+            d = np.sqrt(((xyz1[:, None, :] - xyz2[None, :, :]) ** 2
+                         ).sum(-1))
+            return float((match * d).sum())
+
+        for (n, m) in ((3, 2), (5, 8), (64, 48)):
+            xyz1 = RNG.uniform(-2, 2, (1, n, 3)).astype(np.float32)
+            xyz2 = RNG.uniform(-2, 2, (1, m, 3)).astype(np.float32)
+            got_match = np.asarray(emd.approx_match(xyz1, xyz2))[0]
+            got_cost = float(np.asarray(
+                emd.match_cost(xyz1, xyz2,
+                               jnp.asarray(got_match[None])))[0])
+            want_match = cpp_approxmatch(xyz1[0].astype(np.float64),
+                                         xyz2[0].astype(np.float64))
+            want_cost = cpp_matchcost(xyz1[0].astype(np.float64),
+                                      xyz2[0].astype(np.float64),
+                                      want_match)
+            np.testing.assert_allclose(
+                got_match, want_match, atol=0.02,
+                err_msg='plan mismatch at n={} m={}'.format(n, m))
+            np.testing.assert_allclose(
+                got_cost, want_cost, rtol=5e-3,
+                err_msg='cost mismatch at n={} m={}'.format(n, m))
+            # np_approx_match (the vectorized oracle the other tests
+            # lean on) must agree with the loop-faithful port too
+            np.testing.assert_allclose(
+                emd.np_approx_match(xyz1[0].astype(np.float64),
+                                    xyz2[0].astype(np.float64)),
+                want_match, atol=1e-9)
+
+    def test_integer_capacity_factor_semantics(self):
+        """n=3, m=2: int division gives factorl=1, factorr=1 (float
+        division would give factorr=1.5) -> total plan mass is capped by
+        the column capacity sum m*factorr = 2, not 3."""
+        xyz = RNG.uniform(-0.1, 0.1, (1, 3, 3)).astype(np.float32)
+        xyz2 = xyz[:, :2] + 0.05
+        match = np.asarray(emd.approx_match(xyz, xyz2))[0]
+        assert match.sum() < 2.0 + 1e-3
+        assert match.sum() > 1.9
+
     def test_match_rows_sum_to_capacity(self):
         # Equal-size clouds: each row of the plan should assign ~1 unit
         xyz1 = RNG.uniform(-2, 2, (1, 20, 3)).astype(np.float32)
