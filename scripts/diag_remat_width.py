@@ -39,12 +39,21 @@ compile_cache.enable()
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def compiled_flops(fn, *args):
-    lowered = jax.jit(fn).lower(*args)
-    cost = lowered.compile().cost_analysis()
-    if isinstance(cost, (list, tuple)):
-        cost = cost[0]
-    return float(cost.get('flops', 0.0))
+def compiled_flops(jitted, *args):
+    """FLOPs of the compiled program (0.0 if the backend won't say).
+
+    Mirrors bench.py:_compiled_flops: `jitted` is already a jitted
+    callable, so no second jax.jit wrap (which would compile a second
+    executable), and a backend returning None/[] reports 0 instead of
+    crashing the probe.
+    """
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        return float(cost.get('flops', 0.0))
+    except Exception:
+        return 0.0
 
 
 def measure(bs, remat, n_iters):
@@ -70,6 +79,11 @@ def measure(bs, remat, n_iters):
     t1 = min(run(1) for _ in range(2))
     tn = min(run(n_iters) for _ in range(2))
     step_ms = (tn - t1) / (n_iters - 1) * 1000.0
+    if step_ms <= 0.0:
+        # t1/tn come from separate min-of-2 runs; timing noise can make
+        # the subtraction non-positive at tiny iter counts. Fall back to
+        # the raw n-iter average rather than report a bogus rate.
+        step_ms = tn / n_iters * 1000.0
     mfu = 100.0 * flops / (step_ms / 1000.0) / V5E_BF16_PEAK_FLOPS
     return {
         'batch': bs,
@@ -85,9 +99,14 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--widths', default='4,8')
     parser.add_argument('--iters', type=int, default=6)
+    # step_ms below needs (iters - 1) > 0; 1-iter probes are never
+    # meaningful anyway (they time only compile-adjacent noise).
     parser.add_argument('--remat', default='0,1',
                         help='comma list of 0/1 remat settings to probe')
     args = parser.parse_args()
+    if args.iters < 2:
+        parser.error('--iters must be >= 2 (step time is a difference '
+                     'of a 1-iter and an n-iter run)')
     for bs in [int(w) for w in args.widths.split(',')]:
         for remat in [bool(int(r)) for r in args.remat.split(',')]:
             try:
