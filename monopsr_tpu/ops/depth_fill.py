@@ -74,25 +74,52 @@ def median_5(x):
 
 
 def bilateral_5(x, sigma_color=0.5, sigma_space=2.0):
-    """5x5 bilateral filter (cv2.bilateralFilter(d=5) semantics).
+    """5x5 bilateral filter, bit-faithful to cv2.bilateralFilter 32F.
 
-    weight = exp(-(di^2+dj^2) / (2 sigma_space^2))
-           * exp(-(I - I_c)^2 / (2 sigma_color^2)), reflect-101 border,
-    over the CIRCULAR window sqrt(di^2+dj^2) <= radius — cv2 excludes
-    the square's corners (verified empirically to 1e-6).
+    cv2's float path does NOT evaluate exp per pixel pair: it builds a
+    4096-bin lookup table of exp(-d^2 / (2 sigma_color^2)) over the
+    image's dynamic range (min lowered by 5 sigma_color, a NaN-patch
+    margin in the OpenCV source) and linearly interpolates it at
+    |I - I_c| * scale_index (imgproc bilateral_filter 32F kernel). The
+    spatial window is circular (corners of the 5x5 square excluded,
+    r <= radius), border reflect-101. Reproducing the LUT scheme here
+    shrinks the disagreement from ~5e-3 mean (continuous exp) to
+    <= ~1e-4 max — pure float32 accumulation-order noise, 0.03 of one
+    uint16 depth LSB (see tests/test_depth_fill.py).
     """
-    offsets = np.array([(i - 2, j - 2)
+    radius = 2
+    kbins = 1 << 12
+    offsets = np.array([(i - radius, j - radius)
                         for i in range(5) for j in range(5)], np.float32)
     r2 = (offsets ** 2).sum(1)
     space_w = np.where(
-        np.sqrt(r2) <= 2.0,
+        np.sqrt(r2) <= radius,
         np.exp(-r2 / (2.0 * sigma_space ** 2)),
         0.0).astype(np.float32)
+
+    minv = jnp.min(x)
+    maxv = jnp.max(x)
+    length = maxv - (minv - np.float32(5.0 * sigma_color))
+    scale_index = (np.float32(kbins) / length).astype(jnp.float32)
+    # cv2 evaluates the LUT arg in double; under JAX's default x64-off
+    # config this is float32 — the difference is ~1e-7 relative on the
+    # LUT entries, inside the float32 noise the tests bound.
+    lut_arg = jnp.arange(kbins + 2, dtype=jnp.float32) / scale_index
+    exp_lut = jnp.exp(
+        lut_arg * lut_arg *
+        np.float32(-0.5 / (sigma_color * sigma_color))).astype(jnp.float32)
+
     wins = _windows_5x5(x, 'reflect')
-    color_w = jnp.exp(-jnp.square(wins - x[None]) /
-                      (2.0 * sigma_color ** 2))
+    alpha = (jnp.abs(wins - x[None]) * scale_index).astype(jnp.float32)
+    idx = jnp.clip(jnp.floor(alpha).astype(jnp.int32), 0, kbins)
+    frac = alpha - idx.astype(jnp.float32)
+    color_w = (jnp.take(exp_lut, idx) +
+               frac * (jnp.take(exp_lut, idx + 1) -
+                       jnp.take(exp_lut, idx)))
     w = color_w * space_w[:, None, None]
-    return jnp.sum(w * wins, axis=0) / jnp.sum(w, axis=0)
+    out = jnp.sum(w * wins, axis=0) / jnp.sum(w, axis=0)
+    # cv2 early-outs to a copy when the image is (near-)constant
+    return jnp.where(maxv - minv < np.float32(1.19209290e-07), x, out)
 
 
 @functools.partial(jax.jit, static_argnames=('extrapolate', 'blur_type'))

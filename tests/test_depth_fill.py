@@ -71,9 +71,16 @@ def test_bilateral_close_to_cv2():
     x = sparse_depth_map() / 10.0 + 1.0  # smooth-ish values
     want = cv2.bilateralFilter(x, 5, 0.5, 2.0)
     got = np.asarray(depth_fill.bilateral_5(x))
-    # cv2's float bilateral quantizes color weights; allow small error
-    assert np.mean(np.abs(got - want)) < 5e-3
-    assert np.percentile(np.abs(got - want), 99) < 5e-2
+    # bilateral_5 reproduces cv2's 4096-bin interpolated exp LUT; the
+    # residual is float32 accumulation-order noise only.
+    assert np.max(np.abs(got - want)) < 2e-4
+
+
+def test_bilateral_lut_exact_on_depth_range():
+    x = sparse_depth_map()  # raw 0..60 m values like the pipeline sees
+    want = cv2.bilateralFilter(x, 5, 0.5, 2.0)
+    got = np.asarray(depth_fill.bilateral_5(x))
+    assert np.max(np.abs(got - want)) < 5e-4
 
 
 @pytest.mark.parametrize('blur_type', ['bilateral', 'gaussian'])
@@ -84,20 +91,43 @@ def test_pipeline_matches_host_synthetic(blur_type, extrapolate):
         sparse, extrapolate=extrapolate, blur_type=blur_type)
     got = np.asarray(depth_fill.fill_in_multiscale(
         sparse, extrapolate=extrapolate, blur_type=blur_type))
+    _assert_pipeline_parity(got, want)
+
+
+def _assert_pipeline_parity(got, want):
+    """Every stage is exact except the final blur's float32
+    accumulation order (the LUT color weights now match cv2's 4096-bin
+    interpolation; see bilateral_5 — this closed the former ~5e-3-mean
+    gap). The NAMED, BOUNDED residual: summation-order float noise
+    < 1e-3 m (a quarter of one uint16 depth LSB, 1/256 m). A stored
+    uint16 value can therefore differ only when cv2's float sits within
+    that noise of a rounding boundary — by at most 1 LSB, and only at
+    a vanishing fraction of pixels."""
     err = np.abs(got - want)
-    # The only non-exact stage is the final blur (cv2 internals);
-    # demand near-exact agreement almost everywhere
-    assert np.mean(err < 1e-3) > 0.995, np.mean(err < 1e-3)
-    assert np.median(err) < 1e-4
+    assert np.max(err) < 1e-3, np.max(err)
+    u16_got = np.round(got * 256.0).astype(np.int64)
+    u16_want = np.round(want * 256.0).astype(np.int64)
+    flips = u16_got != u16_want
+    assert np.max(np.abs(u16_got - u16_want)) <= 1, (
+        'uint16 depth differs by >1 LSB')
+    # ~0.2% measured: mean float noise ~7e-6 m against the 1/256 m
+    # quantum predicts ~2*256*7e-6 = 0.36% boundary flips — the rate
+    # is explained by the noise bound, not by algorithmic divergence.
+    assert np.mean(flips) < 5e-3, (
+        'uint16 rounding flips at %d px (%.4f%%)' %
+        (int(flips.sum()), 100.0 * np.mean(flips)))
+    # flips must coincide with near-boundary values, not real error
+    if flips.any():
+        frac = np.abs(want[flips] * 256.0 -
+                      np.round(want[flips] * 256.0))
+        assert np.all(frac > 0.5 - 0.26), frac.min()
 
 
 def test_pipeline_matches_host_fixture():
     sparse = fixture_sparse_map()
     want, _ = ip_basic.fill_in_multiscale(sparse)
     got = np.asarray(depth_fill.fill_in_multiscale(sparse))
-    err = np.abs(got - want)
-    assert np.mean(err < 1e-3) > 0.995, np.mean(err < 1e-3)
-    assert np.median(err) < 1e-4
+    _assert_pipeline_parity(got, want)
 
 
 def test_batch_matches_single():
