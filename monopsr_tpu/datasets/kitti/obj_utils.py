@@ -87,24 +87,35 @@ def read_labels(label_dir, sample_name):
     if os.stat(label_path).st_size == 0:
         return np.asarray([])
 
-    rows = np.loadtxt(label_path, delimiter=' ', dtype=str, ndmin=2)
-    num_cols = rows.shape[1]
-    if num_cols not in (15, 16):
-        raise ValueError('Invalid label format: {} columns'.format(num_cols))
-
+    # Direct line parser: np.loadtxt costs ~3 ms per tiny label file
+    # (it dominates host assembly after imread); splitting lines by
+    # whitespace matches its single-space KITTI rows, comment/blank
+    # skipping included.
     obj_list = []
-    for row in rows:
-        obj = ObjectLabel()
-        obj.type = row[0]
-        obj.truncation = float(row[1])
-        obj.occlusion = float(row[2])
-        obj.alpha = float(row[3])
-        obj.x1, obj.y1, obj.x2, obj.y2 = row[4:8].astype(np.float32)
-        obj.h, obj.w, obj.l = row[8:11].astype(np.float32)
-        obj.t = row[11:14].astype(np.float32)
-        obj.ry = float(row[14])
-        obj.score = float(row[15]) if num_cols == 16 else 0.0
-        obj_list.append(obj)
+    with open(label_path, 'r') as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith('#'):
+                continue
+            row = line.split()
+            num_cols = len(row)
+            if num_cols not in (15, 16):
+                raise ValueError(
+                    'Invalid label format: {} columns'.format(num_cols))
+            obj = ObjectLabel()
+            obj.type = row[0]
+            obj.truncation = float(row[1])
+            obj.occlusion = float(row[2])
+            obj.alpha = float(row[3])
+            obj.x1, obj.y1, obj.x2, obj.y2 = (
+                np.float32(row[4]), np.float32(row[5]),
+                np.float32(row[6]), np.float32(row[7]))
+            obj.h, obj.w, obj.l = (np.float32(row[8]), np.float32(row[9]),
+                                   np.float32(row[10]))
+            obj.t = np.asarray(row[11:14], np.float32)
+            obj.ry = float(row[14])
+            obj.score = float(row[15]) if num_cols == 16 else 0.0
+            obj_list.append(obj)
 
     return np.asarray(obj_list)
 

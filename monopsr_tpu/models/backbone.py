@@ -66,6 +66,7 @@ class Resnet101_4xSquash(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     use_phase_space: bool = True
     remat_towers: bool = False
+    remat_policy: str = 'unit'
 
     @nn.compact
     def __call__(self, rgb_crops, full_imgs, boxes_2d_norm, train):
@@ -83,11 +84,13 @@ class Resnet101_4xSquash(nn.Module):
             spec=spec, output_stride=self.output_stride, dtype=self.dtype,
             use_phase_space=self.use_phase_space,
             remat=self.remat_towers,
+            remat_policy=self.remat_policy,
             name='tower_crop')(rgb_crops)            # (B*N, 12, 12, 1024)
         full_feats = ResNetV1(
             spec=spec, output_stride=self.output_stride, dtype=self.dtype,
             use_phase_space=self.use_phase_space,
             remat=self.remat_towers,
+            remat_policy=self.remat_policy,
             name='tower_full')(full_imgs)            # (B, H/4, W/4, 1024)
 
         # Per-box crop of the full-image features: crop_and_resize to

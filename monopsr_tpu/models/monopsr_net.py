@@ -60,6 +60,7 @@ class NetConfig:
     # model_config.remat_towers — lifts the train step's batch-width
     # ceiling at ~1/3 extra tower FLOPs.
     remat_towers: bool = False
+    remat_policy: str = 'unit'
     # Output types
     lwh_type: str = 'offset'
     alpha_type: str = 'dc'
@@ -106,6 +107,7 @@ class NetConfig:
             resnet=model_config.get('resnet', 'resnet101'),
             output_stride=model_config.get('output_stride', 4),
             remat_towers=bool(model_config.get('remat_towers', False)),
+            remat_policy=str(model_config.get('remat_policy', 'unit')),
             lwh_type=oc.lwh,
             alpha_type=oc.alpha,
             view_ang_type=oc.view_ang,
@@ -279,7 +281,8 @@ class MonoPSRNet(nn.Module):
             output_stride=cfg.output_stride,
             resnet=cfg.resnet, dtype=dtype,
             use_phase_space=cfg.use_phase_space,
-            remat_towers=cfg.remat_towers, name='backbone')(
+            remat_towers=cfg.remat_towers,
+            remat_policy=cfg.remat_policy, name='backbone')(
                 rgb_crops, full_imgs, boxes_2d_norm, train)
 
         # Normalized box/camera features while the (B, N) axes are

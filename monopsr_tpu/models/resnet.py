@@ -24,7 +24,9 @@ that XLA fuses into the convolutions.
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 # (num_units, bottleneck_depth) per block; output depth = 4x bottleneck
 RESNET_SPECS = {
@@ -118,6 +120,12 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x):
         depth_in = x.shape[-1]
+        # Names feed the 'conv_outs' selective-remat policy (ResNetV1):
+        # under save_only_these_names the backward keeps exactly the
+        # conv outputs and recomputes the BN-affine/relu/add tail —
+        # ~half the activation memory of no-remat at elementwise-only
+        # recompute cost. A no-op outside jax.checkpoint.
+        name = checkpoint_name
 
         if depth_in == self.depth:
             if self.stride == 1:
@@ -129,21 +137,25 @@ class Bottleneck(nn.Module):
             shortcut = nn.Conv(
                 self.depth, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name='shortcut')(x)
+            shortcut = name(shortcut, 'conv_out')
             shortcut = FrozenBatchNorm(
                 dtype=self.dtype, name='shortcut_bn')(shortcut)
 
         y = nn.Conv(self.depth_bottleneck, (1, 1), use_bias=False,
                     dtype=self.dtype, name='conv1')(x)
+        y = name(y, 'conv_out')
         y = FrozenBatchNorm(dtype=self.dtype, name='bn1')(y)
         y = nn.relu(y)
 
         y = _conv_same(y, self.depth_bottleneck, 3, self.stride,
                        self.rate, self.dtype, 'conv2')
+        y = name(y, 'conv_out')
         y = FrozenBatchNorm(dtype=self.dtype, name='bn2')(y)
         y = nn.relu(y)
 
         y = nn.Conv(self.depth, (1, 1), use_bias=False,
                     dtype=self.dtype, name='conv3')(y)
+        y = name(y, 'conv_out')
         y = FrozenBatchNorm(dtype=self.dtype, name='bn3')(y)
 
         return nn.relu(shortcut + y)
@@ -173,6 +185,12 @@ class ResNetV1(nn.Module):
     # batch-width ceiling (batch 8 regressed on activation pressure
     # without it). Parameter tree is unchanged.
     remat: bool = False
+    # 'unit': recompute the whole bottleneck (max memory cut, +~1/3
+    # tower FLOPs). 'conv_outs': keep each conv's output, recompute
+    # only the BN-affine/relu/add tail — ~half of no-remat activation
+    # memory at elementwise-only recompute cost (the convs, where the
+    # FLOPs live, are never re-run).
+    remat_policy: str = 'unit'
 
     @nn.compact
     def __call__(self, x):
@@ -186,7 +204,15 @@ class ResNetV1(nn.Module):
 
         current_stride = 4
         rate = 1
-        block_cls = nn.remat(Bottleneck) if self.remat else Bottleneck
+        if not self.remat:
+            block_cls = Bottleneck
+        elif self.remat_policy == 'conv_outs':
+            block_cls = nn.remat(
+                Bottleneck,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    'conv_out'))
+        else:
+            block_cls = nn.remat(Bottleneck)
 
         # Atrous runs (all stride-1 units of equal rate) execute in
         # "phase space": one space-to-batch of the whole run, plain
