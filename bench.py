@@ -268,7 +268,7 @@ def bench_train_step(n_iters=10, n_samples=1, remat=False):
     return step_ms, flops
 
 
-def bench_e2e():
+def bench_e2e(thread_sweep=(1, 2, 4, 8)):
     """Dataset -> prepare -> jitted step -> format -> writers, pipelined.
 
     Mirrors the evaluator's production path: multi-threaded ordered
@@ -276,8 +276,16 @@ def bench_e2e():
     outputs truncated on device to the group's slot bucket, multi-
     dispatch packed pulls, formatting/saving on the pull worker.
 
+    The assembly pool is MEASURED at each width in `thread_sweep`
+    (same compiled programs, separate timed passes) rather than
+    extrapolated: `pipeline_curve` maps thread count -> sustained fps.
+    On this 1-CPU dev host the curve saturates at the serial assembly
+    rate; on multi-core production hosts each added worker buys
+    ~1000/assembly_ms fps until the device or transport binds.
+
     Returns:
-        (fps, stages_ms_per_frame, up_mb_per_frame, down_mb_per_frame)
+        (fps, stages_ms_per_frame, up_mb_per_frame, down_mb_per_frame,
+         pipeline_curve)
     """
     from monopsr_tpu import constants as C
     from monopsr_tpu.datasets.kitti.kitti_dataset import KittiDataset
@@ -324,7 +332,7 @@ def bench_e2e():
 
     bytes_stats = {'up': 0, 'down': 0, 'frames_up': 0, 'frames_down': 0}
 
-    def run_epochs(n_epochs, stages=None):
+    def run_epochs(n_epochs, stages=None, num_threads=2):
         """One pipelined pass mirroring the evaluator's batched path."""
         from monopsr_tpu.eval.pipeline import BatchedPullPipeline
         count = 0
@@ -383,7 +391,7 @@ def bench_e2e():
 
         for item in prefetch_lib.ordered_prefetch(
                 assemble, range(n_epochs * dataset.num_samples),
-                num_threads=2):
+                num_threads=num_threads):
             if item is None:
                 continue
             sample, device_sample = item
@@ -409,13 +417,21 @@ def bench_e2e():
     count = run_epochs(3, stages=stages)
     elapsed = time.time() - start
 
+    # Measured assembly-pool width curve (no stage accounting — the
+    # timing hooks themselves contend for the single CPU)
+    pipeline_curve = {}
+    for t in thread_sweep:
+        t0 = time.time()
+        n = run_epochs(3, num_threads=t)
+        pipeline_curve[str(t)] = round(n / (time.time() - t0), 2)
+
     shutil.rmtree(out_root, ignore_errors=True)
     up_mb = bytes_stats['up'] / max(bytes_stats['frames_up'], 1) / 1e6
     down_mb = (bytes_stats['down'] / max(bytes_stats['frames_down'], 1)
                / 1e6)
     stages_ms = stages.per_item_ms()
     stages_ms['wall'] = elapsed / max(count, 1) * 1000.0
-    return count / elapsed, stages_ms, up_mb, down_mb
+    return count / elapsed, stages_ms, up_mb, down_mb, pipeline_curve
 
 
 def measure_d2h_mbps(size_mb=4):
@@ -442,7 +458,8 @@ def main():
     forward_fps = bench_forward()
     device_fps, device_passes = best_of(bench_device_only)
     batched_fps, batched_flops_frame = bench_batched()
-    e2e_fps, e2e_stages, up_mb, down_mb = bench_e2e()
+    (e2e_fps, e2e_stages, up_mb, down_mb,
+     e2e_pipeline_curve) = bench_e2e()
     d2h = measure_d2h_mbps()
     fwd_flops = forward_flops()
     train_ms, train_flops = bench_train_step()
@@ -501,6 +518,16 @@ def main():
             {k: round(v, 2) for k, v in sorted(e2e_stages.items())},
         'e2e_up_mb_per_frame': round(up_mb, 3),
         'e2e_down_mb_per_frame': round(down_mb, 3),
+        # MEASURED pipelined e2e: sustained fps of the full pipeline at
+        # each assembly-pool width (threads -> fps). The headline
+        # pipelined number is the best measured width, not an
+        # extrapolation; on this 1-core host it saturates at the serial
+        # assembly rate (see note).
+        'e2e_pipeline_curve': e2e_pipeline_curve,
+        'e2e_pipelined_fps': max(e2e_pipeline_curve.values()),
+        'e2e_pipelined_threads': int(max(
+            e2e_pipeline_curve, key=lambda k: e2e_pipeline_curve[k])),
+        'host_cpu_cores': os.cpu_count(),
         'd2h_mbps': round(d2h, 1),
         # Host-feed capacity: producer threads of sample assembly
         # needed to sustain the device rate (assembly parallelizes
@@ -541,7 +568,13 @@ def main():
                  'rate / v5e bf16 peak; train_mfu_pct is at the best '
                  'batch width (train_mfu_batch), batch-1 reported '
                  'alongside. transport_ceiling_fps assumes duplex '
-                 'up/down overlap (binding direction only).'),
+                 'up/down overlap (binding direction only). '
+                 'e2e_pipeline_curve is MEASURED at each assembly-pool '
+                 'width; the gap from e2e_pipelined_fps to device_fps '
+                 'is host-bound on this 1-core machine (assembly is '
+                 'CPU work; each production core adds ~1000/assembly_ms '
+                 'fps until transport or the device binds — '
+                 'assembly_threads_to_feed_device cores close it).'),
     }
     print(json.dumps(result))
 

@@ -56,9 +56,10 @@ def compiled_flops(jitted, *args):
         return 0.0
 
 
-def measure(bs, remat, n_iters):
+def measure(bs, remat, n_iters, policy='unit'):
     _, cfg = graft._flagship_config()
-    cfg = dataclasses.replace(cfg, remat_towers=remat)
+    cfg = dataclasses.replace(cfg, remat_towers=remat,
+                              remat_policy=policy)
     train_step, state, batch = graft.build_train_setup(cfg, n_samples=bs)
     dev_batch = jax.device_put(batch)
     flops = compiled_flops(train_step, state, dev_batch)
@@ -88,6 +89,7 @@ def measure(bs, remat, n_iters):
     return {
         'batch': bs,
         'remat_towers': remat,
+        'remat_policy': policy if remat else None,
         'step_ms': round(step_ms, 2),
         'images_per_sec': round(bs * 1000.0 / step_ms, 2),
         'mfu_pct': round(mfu, 2),
@@ -103,6 +105,8 @@ def main():
     # meaningful anyway (they time only compile-adjacent noise).
     parser.add_argument('--remat', default='0,1',
                         help='comma list of 0/1 remat settings to probe')
+    parser.add_argument('--policy', default='unit',
+                        help="remat policy: 'unit' or 'conv_outs'")
     args = parser.parse_args()
     if args.iters < 2:
         parser.error('--iters must be >= 2 (step time is a difference '
@@ -110,7 +114,7 @@ def main():
     for bs in [int(w) for w in args.widths.split(',')]:
         for remat in [bool(int(r)) for r in args.remat.split(',')]:
             try:
-                row = measure(bs, remat, args.iters)
+                row = measure(bs, remat, args.iters, policy=args.policy)
             except Exception as exc:  # OOM at wide no-remat is a finding
                 row = {'batch': bs, 'remat_towers': remat,
                        'error': str(exc)[:160]}
