@@ -70,14 +70,16 @@ CURVES = ('car_detection', 'car_orientation', 'car_detection_BEV',
           'car_detection_3D')
 
 
-def build_gate_config(args, out_dir, data_split, suffix=''):
+def build_gate_config(args, out_dir, data_split, suffix='',
+                      dataset_dir=FIXTURE, exp_name='accuracy_gate'):
     """Canonical config re-targeted at the fixture."""
     with open(CANONICAL) as f:
         raw = yaml.safe_load(f)
 
     ds = raw['dataset_config']
-    ds['dataset_dir'] = FIXTURE
-    ds['mscnn_dir'] = os.path.join(FIXTURE, 'mscnn')
+    ds['dataset_dir'] = dataset_dir
+    # Rotated fixtures carry their own split-consistent mscnn tree
+    ds['mscnn_dir'] = os.path.join(dataset_dir, 'mscnn')
     ds['data_split'] = data_split
     ds['seed'] = args.seed
     # Mirror-flip augmentation doubles the 7-image fixture's effective
@@ -99,10 +101,64 @@ def build_gate_config(args, out_dir, data_split, suffix=''):
     if suffix:
         out_dir = os.path.join(out_dir, suffix.strip('_'))
         os.makedirs(out_dir, exist_ok=True)
-    config_path = os.path.join(out_dir, 'accuracy_gate.yaml')
+    config_path = os.path.join(out_dir, exp_name + '.yaml')
     with open(config_path, 'w') as f:
         yaml.safe_dump(raw, f)
     return config_path
+
+
+def make_rotated_fixture(rotation, tmp_root):
+    """Fixture view with rotated train/val assignment (VERDICT r4 #7).
+
+    Builds a dataset_dir of symlinks to the checked-in fixture's data
+    plus rewritten split files: the 13 trainval frames are rotated left
+    by `rotation`, the first 7 become train, the last 6 val. The
+    held-out evidence then no longer rests on one fixed 6-frame val
+    set. Ref protocol analogue: run_eval.sh over a chosen split
+    (scripts/offline_eval/kitti_native_eval/run_eval.sh:1-21).
+    """
+    with open(os.path.join(FIXTURE, 'trainval.txt')) as f:
+        frames = f.read().split()
+    rotated = frames[rotation:] + frames[:rotation]
+
+    root = os.path.join(tmp_root, 'fixture_rot{}'.format(rotation))
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    for entry in os.listdir(FIXTURE):
+        # split .txt files are rewritten below; mscnn gets its own
+        # split-consistent tree (symlinking it whole would alias the
+        # checked-in per-split detection layout)
+        if not entry.endswith('.txt') and entry != 'mscnn':
+            os.symlink(os.path.join(FIXTURE, entry),
+                       os.path.join(root, entry))
+    splits = {'train': rotated[:7], 'val': rotated[7:],
+              'trainval': rotated}
+    for name, names in splits.items():
+        with open(os.path.join(root, name + '.txt'), 'w') as f:
+            f.write('\n'.join(sorted(names)) + '\n')
+    shutil.copy(os.path.join(FIXTURE, 'test.txt'),
+                os.path.join(root, 'test.txt'))
+
+    # MSCNN detections are stored PER SPLIT (<mscnn>/<split>/merged_*/
+    # data/<frame>.txt), so the rotated assignment needs its own mscnn
+    # tree: symlink each frame's detection file from whichever
+    # canonical split dir holds it.
+    thr_dir = 'merged_0.2_0.2_0.2'
+    src = {}
+    for split in ('train', 'val'):
+        data_dir = os.path.join(FIXTURE, 'mscnn', split, thr_dir, 'data')
+        for fname in os.listdir(data_dir):
+            src[fname[:-4]] = os.path.join(data_dir, fname)
+    for name, names in splits.items():
+        data_dir = os.path.join(root, 'mscnn', name, thr_dir, 'data')
+        os.makedirs(data_dir)
+        for frame in names:
+            os.symlink(src[frame],
+                       os.path.join(data_dir, frame + '.txt'))
+    os.symlink(os.path.join(FIXTURE, 'mscnn', 'test'),
+               os.path.join(root, 'mscnn', 'test'))
+    return root
 
 
 def parse_results_text(text):
@@ -148,10 +204,17 @@ def main():
                         help='Gate: ceiling on |avg cen_z error| (m)')
     parser.add_argument('--max_chamfer', type=float, default=0.2,
                         help='Gate: ceiling on avg chamfer metric')
-    parser.add_argument('--max_val_cen_z_bias', type=float, default=0.75,
+    parser.add_argument('--splits', type=int, default=2,
+                        help='Number of train/val assignments to gate: '
+                             'split 0 is the canonical fixture split, '
+                             'split k rotates the 13 trainval frames '
+                             'by 3k (VERDICT r4 #7 — held-out evidence '
+                             'from >=2 distinct val sets)')
+    parser.add_argument('--max_val_cen_z_bias', type=float, default=0.65,
                         help='Gate: ceiling on held-out val cen_z BIAS '
                              '|mean signed error| (m) — catches '
-                             'systematic depth offsets')
+                             'systematic depth offsets. Tightened from '
+                             '0.75 (r4) after ~0.5 m measured')
     parser.add_argument('--max_val_cen_z_abs', type=float, default=2.0,
                         help='Gate: ceiling on held-out val cen_z '
                              'MAGNITUDE, mean |error| (m). ~1.6-1.8 m '
@@ -173,15 +236,63 @@ def main():
     from monopsr_tpu.utils import compile_cache
     compile_cache.enable()
 
+    os.makedirs(os.path.join(REPO, 'data', 'outputs'), exist_ok=True)
+    staging = os.path.join(REPO, 'data', 'outputs', '_accuracy_gate_cfg')
+    os.makedirs(staging, exist_ok=True)
+
+    split_reports = []
+    checks = {}
+    for split_idx in range(max(1, args.splits)):
+        report, split_checks = run_split(args, staging, split_idx)
+        split_reports.append(report)
+        prefix = '' if split_idx == 0 else 's{}_'.format(split_idx)
+        checks.update({prefix + k: v for k, v in split_checks.items()})
+
+    gate = dict(split_reports[0])
+    gate['splits'] = split_reports
+    gate['num_splits'] = len(split_reports)
+    gate['checks'] = checks
+    gate['pass'] = bool(all(checks.values()))
+
+    out_path = args.out or os.path.join(REPO, 'ACCURACY.json')
+    with open(out_path, 'w') as f:
+        json.dump(gate, f, indent=2)
+    print(json.dumps(gate))
+
+    if not gate['pass']:
+        failed = [k for k, v in checks.items() if not v]
+        raise SystemExit('ACCURACY GATE FAILED: ' + ', '.join(failed))
+    print('ACCURACY GATE PASSED ({} split(s)): train AP_3D (E/M/H) = '
+          '{}; val AP_3D low = {}'.format(
+              len(split_reports), gate['train']['ap_3d'],
+              gate.get('val', {}).get('ap_3d_low')))
+
+
+def run_split(args, staging, split_idx):
+    """Runs the train+val gate phases on one train/val assignment.
+
+    split 0 = the checked-in canonical split; split k>0 rotates the 13
+    trainval frames left by 3k (train = first 7, val = last 6), so the
+    held-out gates see a different 6-frame val set per split.
+
+    Returns:
+        (report_dict, checks_dict)
+    """
     from monopsr_tpu import config as config_utils
     from monopsr_tpu.datasets.kitti.kitti_dataset import KittiDataset
     from monopsr_tpu.eval.evaluator import Evaluator
     from monopsr_tpu.train import trainer as trainer_lib
 
-    os.makedirs(os.path.join(REPO, 'data', 'outputs'), exist_ok=True)
-    staging = os.path.join(REPO, 'data', 'outputs', '_accuracy_gate_cfg')
-    os.makedirs(staging, exist_ok=True)
-    config_path = build_gate_config(args, staging, 'train')
+    if split_idx == 0:
+        dataset_dir = FIXTURE
+        exp_name = 'accuracy_gate'
+    else:
+        dataset_dir = make_rotated_fixture(3 * split_idx, staging)
+        exp_name = 'accuracy_gate_s{}'.format(split_idx)
+
+    config_path = build_gate_config(args, staging, 'train',
+                                    dataset_dir=dataset_dir,
+                                    exp_name=exp_name)
     config = config_utils.parse_yaml_config(config_path)
 
     t0 = time.time()
@@ -226,6 +337,12 @@ def main():
 
     gate = {
         'metric': 'fixture_accuracy_gate',
+        'split_index': split_idx,
+        'split_rotation': 0 if split_idx == 0 else 3 * split_idx,
+        'val_frames': sorted(
+            open(os.path.join(
+                config.dataset_config.dataset_dir,
+                'val.txt')).read().split()),
         'steps': args.steps,
         'step_evaluated': step,
         'train_seconds': round(train_time, 1),
@@ -254,7 +371,9 @@ def main():
     # ---- Phase 2: held-out val split through the real val path ----
     if args.min_val_ap >= 0:
         val_config = config_utils.parse_yaml_config(
-            build_gate_config(args, staging, 'val', suffix='_val'))
+            build_gate_config(args, staging, 'val', suffix='_val',
+                              dataset_dir=config.dataset_config
+                              .dataset_dir, exp_name=exp_name))
         # Same experiment/checkpoints: the config name must match the
         # training run's; only data_split differs.
         val_dataset = KittiDataset(val_config.dataset_config, 'val')
@@ -313,20 +432,8 @@ def main():
             'cen_z_abs_m': val_cen_z_abs,
         }
 
-    gate['checks'] = checks
-    gate['pass'] = bool(all(checks.values()))
-
-    out_path = args.out or os.path.join(REPO, 'ACCURACY.json')
-    with open(out_path, 'w') as f:
-        json.dump(gate, f, indent=2)
-    print(json.dumps(gate))
-
-    if not gate['pass']:
-        failed = [k for k, v in checks.items() if not v]
-        raise SystemExit('ACCURACY GATE FAILED: ' + ', '.join(failed))
-    print('ACCURACY GATE PASSED: train AP_3D (E/M/H) = {}; '
-          'val AP_3D low = {}'.format(
-              ap_3d, gate.get('val', {}).get('ap_3d_low')))
+    gate['split_checks'] = checks
+    return gate, checks
 
 
 if __name__ == '__main__':

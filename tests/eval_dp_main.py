@@ -25,8 +25,11 @@ jax.config.update(
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
-def main():
-    n_dp = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+def run_equivalence(n_dp):
+    """Trains 2 steps, evaluates at n_dp-device DP and 1-device, and
+    asserts identical box_3d dumps. Used by test_data_parallel.py (2
+    devices) and __graft_entry__.dryrun_multichip (the driver's full
+    8-device virtual mesh)."""
     assert len(jax.devices()) >= n_dp, 'need %d virtual devices' % n_dp
 
     from pathlib import Path
@@ -62,7 +65,11 @@ def main():
             dumps[n_dp][name], dumps[1][name], rtol=1e-4, atol=1e-4,
             err_msg=name)
 
-    print('EVAL_DP_EQUIVALENCE_OK dp=%d' % n_dp)
+    print('EVAL_DP_EQUIVALENCE_OK dp=%d' % n_dp, flush=True)
+
+
+def main():
+    run_equivalence(int(sys.argv[1]) if len(sys.argv) > 1 else 2)
 
 
 if __name__ == '__main__':
