@@ -60,9 +60,16 @@ def time_grad(name, loss_fn, params, *rest):
 
 
 def main():
-    print('devices:', jax.devices(), flush=True)
+    import dataclasses
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    remat = bool(int(sys.argv[2])) if len(sys.argv) > 2 else False
+    cells = set(sys.argv[3].upper()) if len(sys.argv) > 3 else set('ABCDE')
+    print('devices:', jax.devices(), 'batch:', bs, 'remat:', remat,
+          flush=True)
     _, cfg = graft._flagship_config()
-    _, state, batch = graft.build_train_setup(cfg, n_samples=1)
+    if remat:
+        cfg = dataclasses.replace(cfg, remat_towers=True)
+    _, state, batch = graft.build_train_setup(cfg, n_samples=bs)
     dev_batch = jax.device_put(batch)
     params, stats = state.params, state.batch_stats
 
@@ -76,9 +83,9 @@ def main():
     spec = RESNET_SPECS[cfg.resnet]
     tower = ResNetV1(spec=spec, output_stride=cfg.output_stride,
                      dtype=jnp.bfloat16)
-    crops = jnp.zeros((cfg.num_boxes,) + tuple(cfg.img_roi_size) + (3,),
-                      jnp.float32)
-    full = jnp.zeros((1,) + tuple(cfg.resized_full_img_shape) + (3,),
+    crops = jnp.zeros((bs * cfg.num_boxes,) + tuple(cfg.img_roi_size)
+                      + (3,), jnp.float32)
+    full = jnp.zeros((bs,) + tuple(cfg.resized_full_img_shape) + (3,),
                      jnp.float32)
     tvars = jax.jit(tower.init)(jax.random.PRNGKey(0), crops)
 
@@ -86,42 +93,52 @@ def main():
         out = tower.apply({'params': p, 'batch_stats': s}, x)
         return jnp.sum(out.astype(jnp.float32))
 
-    time_grad('A crop tower (32x48x48)', tower_loss,
-              tvars['params'], tvars['batch_stats'], crops)
-    tvars_f = jax.jit(tower.init)(jax.random.PRNGKey(0), full)
-    time_grad('B full tower (1x%dx%d)' % tuple(cfg.resized_full_img_shape),
-              tower_loss, tvars_f['params'], tvars_f['batch_stats'], full)
+    if 'A' in cells:
+        time_grad('A crop tower (%dx48x48)' % (bs * cfg.num_boxes),
+                  tower_loss, tvars['params'], tvars['batch_stats'], crops)
+    if 'B' in cells:
+        tvars_f = jax.jit(tower.init)(jax.random.PRNGKey(0), full)
+        time_grad('B full tower (%dx%dx%d)' % ((bs,) +
+                  tuple(cfg.resized_full_img_shape)),
+                  tower_loss, tvars_f['params'], tvars_f['batch_stats'],
+                  full)
 
     # --- C: whole backbone ----------------------------------------------
     bb = Resnet101_4xSquash(
         map_roi_size=cfg.map_roi_size, output_stride=cfg.output_stride,
         resnet=cfg.resnet, dtype=jnp.bfloat16)
     boxes_norm = jnp.tile(jnp.asarray([[0.2, 0.2, 0.6, 0.6]], jnp.float32),
-                          (1, cfg.num_boxes, 1))
-    bvars = jax.jit(lambda: bb.init(jax.random.PRNGKey(0), crops, full,
-                                    boxes_norm, False))()
+                          (bs, cfg.num_boxes, 1))
+    if 'C' in cells:
+        bvars = jax.jit(lambda: bb.init(jax.random.PRNGKey(0), crops,
+                                        full, boxes_norm, False))()
 
-    def bb_loss(p, s, c, f, bn):
-        m, b3 = bb.apply({'params': p, 'batch_stats': s}, c, f, bn,
-                         False)
-        return (jnp.sum(m.astype(jnp.float32)) +
-                jnp.sum(b3.astype(jnp.float32)))
+        def bb_loss(p, s, c, f, bn):
+            m, b3 = bb.apply({'params': p, 'batch_stats': s}, c, f, bn,
+                             False)
+            return (jnp.sum(m.astype(jnp.float32)) +
+                    jnp.sum(b3.astype(jnp.float32)))
 
-    time_grad('C backbone (towers+crop+decoder)', bb_loss,
-              bvars['params'], bvars['batch_stats'], crops, full,
-              boxes_norm)
+        time_grad('C backbone (towers+crop+decoder)', bb_loss,
+                  bvars['params'], bvars['batch_stats'], crops, full,
+                  boxes_norm)
 
     # --- D: full net ------------------------------------------------------
-    def net_loss(p, s, b):
-        out, _ = net.apply({'params': p, 'batch_stats': s},
-                           **monopsr.net_inputs_from_batch(b),
-                           train=True, mutable=['batch_stats'])
-        return sum(jnp.sum(v.astype(jnp.float32)) for v in out.values())
+    if 'D' in cells:
+        def net_loss(p, s, b):
+            out, _ = net.apply({'params': p, 'batch_stats': s},
+                               **monopsr.net_inputs_from_batch(b),
+                               train=True, mutable=['batch_stats'])
+            return sum(jnp.sum(v.astype(jnp.float32))
+                       for v in out.values())
 
-    time_grad('D full net (train=True)', net_loss, params, stats,
-              dev_batch)
+        time_grad('D full net (train=True)', net_loss, params, stats,
+                  dev_batch)
 
     # --- E: net + GT + losses (train-step loss_fn) -----------------------
+    if 'E' not in cells:
+        return
+
     def full_loss(p, s, b):
         out, _ = net.apply({'params': p, 'batch_stats': s},
                            **monopsr.net_inputs_from_batch(b),

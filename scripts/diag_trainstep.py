@@ -41,9 +41,10 @@ def cost(jitted, *args):
 
 
 def main():
-    print('devices:', jax.devices(), flush=True)
+    bs = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    print('devices:', jax.devices(), 'batch:', bs, flush=True)
     _, cfg = graft._flagship_config()
-    train_step, state, batch = graft.build_train_setup(cfg, n_samples=1)
+    train_step, state, batch = graft.build_train_setup(cfg, n_samples=bs)
     dev_batch = jax.device_put(batch)
 
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
@@ -56,7 +57,7 @@ def main():
           f'accessed -> compute floor {flops/V5E_PEAK*1e3:.2f} ms, '
           f'memory floor {bytes_acc/V5E_HBM_GBPS*1e3:.2f} ms', flush=True)
 
-    ms, _ = bench.bench_train_step(n_iters=10, n_samples=1)
+    ms, _ = bench.bench_train_step(n_iters=10, n_samples=bs)
     print(f'train_step measured: {ms:.2f} ms', flush=True)
 
     # fwd+bwd only (no optimizer update): same loss, grads returned
