@@ -268,6 +268,57 @@ def bench_train_step(n_iters=10, n_samples=1, remat=False):
     return step_ms, flops
 
 
+def bench_train_step_scanned(n_iters=8, n_samples=1, remat=False):
+    """Steady-state train step: K steps inside ONE lax.scan program.
+
+    The python-loop measurement above pays this dev tunnel's per-step
+    dispatch (~7 ms measured at batch 4, scripts/diag_scan_train.py)
+    that production TPU hosts don't; scanning the raw step measures
+    the chip's own step time. The trainer exposes the same execution
+    mode in production as train_config.steps_per_dispatch.
+
+    Returns:
+        (step_ms, flops_per_step)
+    """
+    import dataclasses
+    _, cfg = graft._flagship_config()
+    if remat:
+        cfg = dataclasses.replace(cfg, remat_towers=True)
+    raw_step, state, batch = graft.build_train_setup(
+        cfg, n_samples=n_samples, jit=False)
+    dev_batch = jax.device_put(batch)
+
+    def scan_steps(k):
+        def fn(state, batch):
+            def body(s, _):
+                s2, losses = raw_step(s, batch)
+                return s2, losses['total_loss']
+            s, totals = jax.lax.scan(body, state, None, length=k)
+            return s, totals[-1]
+        return jax.jit(fn, donate_argnums=(0,))
+
+    one, many = scan_steps(1), scan_steps(n_iters)
+    flops = _compiled_flops(one, state, dev_batch)
+
+    def timed(fn, s):
+        start = time.time()
+        s2, total = fn(s, dev_batch)
+        float(total)
+        return time.time() - start, s2
+
+    _, state = timed(one, state)   # warm (donated state threads on)
+    _, state = timed(many, state)
+    t1s, tns = [], []
+    for _ in range(2):
+        dt, state = timed(one, state)
+        t1s.append(dt)
+    for _ in range(2):
+        dt, state = timed(many, state)
+        tns.append(dt)
+    step_ms = (min(tns) - min(t1s)) / (n_iters - 1) * 1000.0
+    return step_ms, flops
+
+
 def bench_e2e(thread_sweep=(1, 2, 4, 8)):
     """Dataset -> prepare -> jitted step -> format -> writers, pipelined.
 
@@ -462,7 +513,7 @@ def main():
      e2e_pipeline_curve) = bench_e2e()
     d2h = measure_d2h_mbps()
     fwd_flops = forward_flops()
-    train_ms, train_flops = bench_train_step()
+    train_ms, train_flops = bench_train_step_scanned()
     # Per-device image batching curve (train_config.batch_size):
     # steps/s, images/s and MFU per batch width on one chip. The
     # headline train MFU is taken at the best-performing width — the
@@ -483,7 +534,7 @@ def main():
     for key, bs, remat in (('2', 2, False), ('4', 4, False),
                            ('8', 8, False), ('8r', 8, True)):
         try:
-            ms_b, flops_b = bench_train_step(
+            ms_b, flops_b = bench_train_step_scanned(
                 n_iters=6, n_samples=bs, remat=remat)
             train_batch_curve[key] = {
                 'step_ms': round(ms_b, 2),
@@ -495,6 +546,14 @@ def main():
                 train_batch_curve[key]['remat_towers'] = True
         except Exception as exc:
             train_batch_curve[key] = {'error': str(exc)[:120]}
+    # Per-step host-dispatch overhead on THIS tunnel: python-loop minus
+    # scanned at batch 4 (production hosts pay ~0; the trainer's
+    # steps_per_dispatch mode reaches the scanned rate anywhere)
+    try:
+        loop_ms4, _ = bench_train_step(n_iters=6, n_samples=4)
+        dispatch_overhead = loop_ms4 - train_batch_curve['4']['step_ms']
+    except Exception:
+        dispatch_overhead = None
     train_best_bs, train_best = max(
         ((b, c) for b, c in train_batch_curve.items() if 'mfu_pct' in c),
         key=lambda bc: bc[1]['mfu_pct'])
@@ -550,6 +609,12 @@ def main():
             'batched8_mfu_pct': round(
                 100.0 * batched_flops_frame * batched_fps / peak, 2),
             'train_step_ms': round(train_ms, 2),
+            # train cells are lax.scan steady-state (K steps in one
+            # device program); the python-loop alternative pays this
+            # dev tunnel's per-step dispatch, reported here
+            'train_dispatch_overhead_ms': (
+                round(dispatch_overhead, 2)
+                if dispatch_overhead is not None else None),
             'train_batch_curve': train_batch_curve,
             'train_gflops_per_step': round(train_flops / 1e9, 2),
             'train_mfu_pct': train_best['mfu_pct'],

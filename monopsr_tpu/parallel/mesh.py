@@ -58,3 +58,15 @@ def replicate(mesh, tree):
     """Replicates a pytree (e.g. the train state) across the mesh."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_batch_stacked(mesh, batches):
+    """Places a (steps, batch, ...) stack: axis 1 over 'data'.
+
+    Used by the trainer's steps_per_dispatch mode — axis 0 is the
+    lax.scan step axis (replicated; each scan iteration consumes one
+    slice), axis 1 the per-step data-parallel batch axis.
+    """
+    sharding = NamedSharding(mesh, P(None, 'data'))
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sharding), batches)

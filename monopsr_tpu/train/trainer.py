@@ -93,7 +93,8 @@ def stack_samples(samples):
     return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
 
 
-def make_train_step(net, cfg, loss_config, tx, use_ema, ema_decay):
+def make_train_step(net, cfg, loss_config, tx, use_ema, ema_decay,
+                    jit=True):
     """Builds the jitted train step over a stacked sample batch.
 
     The forward runs the net's batch-native path (one flat box axis,
@@ -101,6 +102,10 @@ def make_train_step(net, cfg, loss_config, tx, use_ema, ema_decay):
     forward instead measures ~1.7x slower on the towers' fwd+bwd
     (scripts/diag_forward_bisect.py). GT assembly and the losses stay
     vmapped per sample (per-image gathers + light geometry).
+
+    jit=False returns the raw traceable function (for callers that
+    embed the step inside a larger program, e.g. a lax.scan of
+    multiple steps).
     """
 
     def train_step(state, batch):
@@ -131,6 +136,8 @@ def make_train_step(net, cfg, loss_config, tx, use_ema, ema_decay):
             ema_decay=ema_decay if use_ema else None)
         return new_state, losses
 
+    if not jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
 
 
@@ -242,8 +249,25 @@ def train(config, dataset, max_steps=None, log_every=None):
 
     state = mesh_lib.replicate(mesh, state)
 
-    train_step = make_train_step(net, cfg, loss_config, tx,
-                                 use_ema, ema_decay)
+    raw_step = make_train_step(net, cfg, loss_config, tx,
+                               use_ema, ema_decay, jit=False)
+    train_step = jax.jit(raw_step, donate_argnums=(0,))
+
+    # steps_per_dispatch K > 1: run K steps inside ONE device program
+    # (lax.scan over K stacked batches). Removes per-step host dispatch
+    # — ~7 ms/step on a tunneled dev host (scripts/diag_scan_train.py),
+    # sub-ms but nonzero on production hosts — at the cost of K-step
+    # logging granularity (the summary uses the dispatch's last step).
+    # profile_step forces K=1 so the capture brackets a single step.
+    steps_per_dispatch = max(1, int(
+        train_config.get('steps_per_dispatch', 1) or 1))
+    if train_config.get('profile_step') is not None:
+        steps_per_dispatch = 1
+    multi_step = None
+    if steps_per_dispatch > 1:
+        def _multi(state, batches):
+            return jax.lax.scan(raw_step, state, batches)
+        multi_step = jax.jit(_multi, donate_argnums=(0,))
     logger = ScalarLogger(
         config.logdir,
         tensorboard=bool(train_config.get('tensorboard', True)))
@@ -296,28 +320,49 @@ def train(config, dataset, max_steps=None, log_every=None):
 
     last_time = time.time()
     step = start_step
+    last_log_step = start_step
     while step < max_iterations:
-        batch = loader.get_batch()
-        if mesh.devices.size > 1:
-            # Explicit leading-axis sharding; on a 1-device mesh the
-            # jit call's own arg transfer is fewer round trips.
-            batch = mesh_lib.shard_batch(mesh, batch)
-
-        if profile_step is not None and step + 1 == int(profile_step):
-            from monopsr_tpu.utils import profiling
-            with profiling.trace(os.path.join(config.logdir, 'profile')):
-                state, losses = train_step(state, batch)
-                jax.block_until_ready(losses)
+        k = min(steps_per_dispatch, max_iterations - step)
+        if multi_step is not None and k == steps_per_dispatch:
+            stacked = jax.tree.map(
+                lambda *xs: np.stack(xs),
+                *[loader.get_batch() for _ in range(k)])
+            if mesh.devices.size > 1:
+                stacked = mesh_lib.shard_batch_stacked(mesh, stacked)
+            state, losses_seq = multi_step(state, stacked)
+            losses = jax.tree.map(lambda x: x[-1], losses_seq)
+            prev = step
+            step += k
+            crossed = (step // summary_interval >
+                       prev // summary_interval)
+            crossed_ckpt = (step // checkpoint_interval >
+                            prev // checkpoint_interval)
         else:
-            state, losses = train_step(state, batch)
-        step += 1
+            batch = loader.get_batch()
+            if mesh.devices.size > 1:
+                # Explicit leading-axis sharding; on a 1-device mesh
+                # the jit call's own arg transfer is fewer round trips.
+                batch = mesh_lib.shard_batch(mesh, batch)
 
-        if step % summary_interval == 0:
+            if profile_step is not None and step + 1 == int(profile_step):
+                from monopsr_tpu.utils import profiling
+                with profiling.trace(
+                        os.path.join(config.logdir, 'profile')):
+                    state, losses = train_step(state, batch)
+                    jax.block_until_ready(losses)
+            else:
+                state, losses = train_step(state, batch)
+            step += 1
+            crossed = step % summary_interval == 0
+            crossed_ckpt = step % checkpoint_interval == 0
+
+        if crossed:
             losses = transfer.device_get_packed(losses)
             losses['learning_rate'] = float(schedule(step))
             losses['steps_per_sec'] = (
-                summary_interval / (time.time() - last_time))
+                (step - last_log_step) / (time.time() - last_time))
             last_time = time.time()
+            last_log_step = step
             logger.log(step, losses)
             print('step {:6d}  total {:.4f}  {:.2f} steps/s'.format(
                 step, float(losses['total_loss']),
@@ -339,7 +384,7 @@ def train(config, dataset, max_steps=None, log_every=None):
                     config.logdir, step, 'features_for_box_3d',
                     np.asarray(box_f, np.float32))
 
-        if step % checkpoint_interval == 0 or step == max_iterations:
+        if crossed_ckpt or step == max_iterations:
             save_checkpoint(manager, state, step)
 
     loader.stop()
