@@ -331,6 +331,8 @@ def train(config, dataset, max_steps=None, log_every=None):
                 stacked = mesh_lib.shard_batch_stacked(mesh, stacked)
             state, losses_seq = multi_step(state, stacked)
             losses = jax.tree.map(lambda x: x[-1], losses_seq)
+            # the feature-map capture below samples from `batch`
+            batch = jax.tree.map(lambda x: x[-1], stacked)
             prev = step
             step += k
             crossed = (step // summary_interval >

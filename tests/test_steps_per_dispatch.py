@@ -48,3 +48,18 @@ def test_multi_step_matches_single_step(tmp_path, k):
     ckpts = sorted(os.listdir(config_k.checkpoint_dir))
     assert any(c.lstrip('0') in ('4', '') or c.endswith('4')
                for c in ckpts), ckpts
+
+
+def test_multi_step_with_feature_map_summaries(tmp_path):
+    """The summary-images capture samples from the dispatch's batch —
+    regression test for the multi-step branch leaving it undefined."""
+    import os
+    config = make_config(tmp_path / 'imgs', max_iterations=2)
+    config.train_config.steps_per_dispatch = 2
+    config.train_config.summary_interval = 1
+    config.dataset_config.seed = 7
+    config.summary_images = True
+    dataset = KittiDataset(config.dataset_config, 'train')
+    trainer.train(config, dataset)
+    images_dir = os.path.join(config.logdir, 'images')
+    assert os.path.isdir(images_dir) and os.listdir(images_dir)
