@@ -79,10 +79,28 @@ def instance_xyz_crop_from_depth_map(depth_map,
     src_y = jnp.clip(src_y, 0, height - 1)
     src_x = jnp.clip(src_x, 0, width - 1)
 
-    flat_idx = src_y[:, :, None] * width + src_x[:, None, :]   # (N, h, w)
-
-    depth_samples = depth_map.reshape(-1)[flat_idx]
-    inst_samples = instance_img.reshape(-1)[flat_idx]
+    # One-hot matmul selection instead of a flat gather: the (N,48,48)
+    # nearest sample of both full-res maps is two MXU contractions per
+    # map. Measured 17.7x over the gather form at batch-8 production
+    # shapes (9.5 -> 0.53 ms/step, scripts/diag_gt_gather.py) — row
+    # gathers serialize on the sparse core. Precision.HIGHEST makes the
+    # select BIT-EXACT: 3-pass bf16 covers the full f32 mantissa and
+    # every product is value*1.0 (the default single-pass would round
+    # depth to bf16).
+    ar_h = jnp.arange(height, dtype=jnp.int32)
+    ar_w = jnp.arange(width, dtype=jnp.int32)
+    sel_y = (ar_h == src_y[..., None]).astype(jnp.float32)  # (N, h, H)
+    sel_x = (ar_w == src_x[..., None]).astype(jnp.float32)  # (N, w, W)
+    both = jnp.stack([depth_map.astype(jnp.float32),
+                      instance_img.astype(jnp.float32)])    # (2, H, W)
+    tmp = jnp.einsum('nyh,chw->ncyw', sel_y, both,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    samples = jnp.einsum('ncyw,nxw->ncyx', tmp, sel_x,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+    depth_samples = samples[:, 0]
+    inst_samples = samples[:, 1].astype(jnp.int32)
 
     mask = (inst_samples == inst_indices[:, None, None]).astype(
         depth_samples.dtype)
